@@ -1,0 +1,139 @@
+"""Configuration for fldrx — the TPU-native fLDRnet rebuild.
+
+The reference drives everything through ~110 argparse flags mutated in layers
+(/root/reference/main.py:25-215 → useful.py:163-190 papermodel preset →
+main.py:243-269 testNscales presets → main.py:270-273 derived values). Here the
+same surface is a single frozen dataclass with preset constructors; only the
+flags that change shipped behaviour are kept (the reference's dead/experimental
+flags — --noPCA, --interpBackwForw, weightMat/maxmin_vec — are deliberately not
+ported, see SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class FLDRConfig:
+    """Model + pipeline configuration (reference: main.py argparse + presets)."""
+
+    # --- core model geometry (main.py:122-125, 270-273) ---
+    img_ch: int = 3
+    wiS: int = 8                      # PCA block size (DCTParams.wiS, pca_comp.py:301)
+    scales: Tuple[int, ...] = (8, 16, 32, 64)
+    fractions: Tuple[int, ...] = (4, 16, 64, 256)
+    S_trn: int = 3                    # lowest pyramid level used in training
+    S_tst: int = 3                    # lowest pyramid level used at test
+
+    # --- papermodel switches that survive into the shipped forward pass ---
+    # (useful.py:163-190; switches that only gate dead branches are dropped)
+    mean_vector_norm: bool = True     # divide PCA comps by mean |comp| vector
+    ref_feat_extrac: bool = True      # rec_ctx_ds residual feature conv
+    sminterp: bool = True             # softmax 6-way candidate blend w/ T_param
+    impmasksoftsplat: bool = True     # learned z importance metric for splatting
+    align_corners: bool = False       # align_cornerse flag: always False in shipped cfg
+
+    # --- refine UNet (fLDRnet.py:584-617) ---
+    unet_nf: int = 16                 # noResidAddup sets nf=16 (fLDRnet.py:609)
+    unet_in: int = 26                 # sminterp input maps (fLDRnet.py:599)
+    unet_out: int = 6                 # 7+2-3 via sminterp/sminterpInpIm/noResidAddup
+
+    # --- training hyperparameters (main.py:181-205, useful.py:175) ---
+    epochs: int = 200
+    init_lr: float = 1e-4
+    evlr: float = 0.1                 # EV/Mean param-group LR multiplier (main.py:460)
+    lr_milestones: Tuple[int, ...] = (70, 120, 170)
+    lr_dec_fac: float = 0.25
+    batch_size: int = 8
+    weight_decay: float = 0.0
+    loss_type: str = "L1"             # L1 | MSE | L1_Charbonnier_loss
+    rec_lambda: float = 1.0
+    smoothness: float = 0.5           # ownsmooth weight (main.py:165)
+    warp_alpha: float = 0.05          # forwendflowloss weight (useful.py:181)
+    patch_size: int = 512
+    validation_patch_size: int = 512
+    test_patch_size: int = -1
+    t_optimization: bool = False      # freeze-all-but-T_param stage (main.py:517-524)
+    no_ev_optimization: bool = False
+
+    # --- eval / data ---
+    multiple: int = 8
+    padding: str = "reflect"          # pcanet → reflect (main.py:273)
+    dataset: str = "X4K1000FPS"
+    testsets: Tuple[str, ...] = ("Inter4K-S", "Inter4K-L", "X4K1000FPS", "Xiph-4K")
+    phase: str = "test"
+
+    # --- numerics policy (TPU-specific; reference computes PCA in f64) ---
+    # f64 has no native TPU support; PCA transform runs in f32 by default with a
+    # documented tolerance (SURVEY.md §7 hard-part 3).
+    compute_dtype: str = "float32"    # bfloat16 for speed path, float32 for parity
+    param_dtype: str = "float32"
+
+    # --- paths ---
+    checkpoint_dir: str = "./checkpoint_dir"
+    text_dir: str = "./text_dir"
+    log_dir: str = "./log_dir"
+    exp_num: int = 1
+    net_type: str = "fLDRnet"
+    x_train_data_path: str = "./../../X-Train/train"
+    x_val_data_path: str = "./../../X-Train/val"
+    x_test_data_path: str = "X_test/test"
+    vimeo_data_path: str = "./../../vimeo_triplet"
+    xiph_data_path: str = "../XVFI-main/XiphDataset/netflix"
+    inter4k_data_path: str = "inter4ktestset/"
+
+    # ------------------------------------------------------------------
+    @property
+    def dctvfi_nf(self) -> int:
+        # main.py:272 — number of PCA components kept per image channel
+        return self.scales[0] ** 2 // self.fractions[0]
+
+    @property
+    def nf(self) -> int:
+        # DCTVFInet.nf = dctvfi_nf * img_ch (fLDRnet.py:308)
+        return self.dctvfi_nf * self.img_ch
+
+    @property
+    def div_pad(self) -> int:
+        # main.py:842 — test frames are padded to this divisibility
+        s = self.S_tst if self.phase == "test" else self.S_trn
+        return (2 ** s) * self.wiS
+
+    @property
+    def model_dir(self) -> str:
+        return f"{self.net_type}_X4K1000FPS_exp{self.exp_num}"
+
+    def replace(self, **kw) -> "FLDRConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def papermodel(**overrides) -> FLDRConfig:
+    """The --papermodel preset (useful.py:163-190)."""
+    cfg = FLDRConfig()
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+_TEST_SCALE_PRESETS = {
+    # --testNscales presets (main.py:243-269)
+    3: ((8, 16, 32, 64), (4, 16, 64, 256)),
+    4: ((8, 16, 32, 64, 128), (4, 16, 64, 256, 1024)),
+    5: ((8, 16, 32, 64, 128, 256), (4, 16, 64, 256, 1024, 4096)),
+    6: ((8, 16, 32, 64, 128, 256, 512), (4, 16, 64, 256, 1024, 4096, 16384)),
+    7: ((8, 16, 32, 64, 128, 256, 512, 1024),
+        (4, 16, 64, 256, 1024, 4096, 16384, 65536)),
+}
+
+
+def test_scales(cfg: FLDRConfig, n: int) -> FLDRConfig:
+    """Apply the --testNscales preset: deepen the pyramid for test only."""
+    scales, fractions = _TEST_SCALE_PRESETS[n]
+    return cfg.replace(scales=scales, fractions=fractions, S_tst=n, phase="test")
+
+
+def papermodel_test5() -> FLDRConfig:
+    """--papermodel --test5scales: the headline benchmark configuration
+    (README.md:62, run_on_your_images.py:183-203)."""
+    return test_scales(papermodel(), 5)

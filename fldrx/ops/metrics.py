@@ -1,0 +1,105 @@
+"""PSNR / SSIM metrics, parity with the reference's evaluation.
+
+The reference uses skimage.metrics.peak_signal_noise_ratio (data_range=255,
+utils.py:644-659) and structural_similarity on the Y channel of a BGR→YCbCr
+transform (utils.py:662-710). skimage is not in this image, so both are
+implemented here in NumPy matching skimage's defaults exactly
+(win_size=7 uniform filter, K1=0.01, K2=0.03, gaussian_weights=False).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["psnr", "psnr_xvfi", "ssim_bgr", "rgb2ycbcr", "to_uint8", "denorm255"]
+
+
+def denorm255(x: np.ndarray) -> np.ndarray:
+    """[-1,1] → [0,255] with clipping (utils.py:685-688)."""
+    return np.clip((x + 1.0) / 2.0, 0.0, 1.0) * 255.0
+
+
+def to_uint8(x: np.ndarray, vmin: float, vmax: float) -> np.ndarray:
+    x = x.astype("float32")
+    x = (x - vmin) / (vmax - vmin) * 255
+    return np.clip(np.round(x), 0, 255)
+
+
+def psnr(img_true: np.ndarray, img_pred: np.ndarray, data_range: float = 255.0) -> float:
+    """skimage.peak_signal_noise_ratio equivalent (utils.py:651-652)."""
+    img_true = np.asarray(img_true, dtype=np.float64)
+    img_pred = np.asarray(img_pred, dtype=np.float64)
+    mse = np.mean((img_true - img_pred) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10((data_range ** 2) / mse))
+
+
+def psnr_xvfi(img_true: np.ndarray, img_pred: np.ndarray) -> float:
+    """--XVFIPSNR RMSE formula (utils.py:654-659)."""
+    diff = np.asarray(img_true, np.float64) - np.asarray(img_pred, np.float64)
+    rmse = np.sqrt(np.mean(diff ** 2))
+    if rmse == 0:
+        return float("inf")
+    return float(20 * np.log10(255.0 / rmse))
+
+
+def rgb2ycbcr(img: np.ndarray, max_val: float = 255.0) -> np.ndarray:
+    """BT.601 RGB→YCbCr, constants from utils.py:691-710."""
+    O = np.array([16.0, 128.0, 128.0])
+    T = np.array([
+        [0.256788235294118, 0.504129411764706, 0.097905882352941],
+        [-0.148223529411765, -0.290992156862745, 0.439215686274510],
+        [0.439215686274510, -0.367788235294118, -0.071427450980392],
+    ])
+    if max_val == 1:
+        O = O / 255.0
+    return img @ T.T + O
+
+
+def _uniform_filter_valid(x: np.ndarray, w: int) -> np.ndarray:
+    """Mean filter with `valid`-style interior matching scipy's reflect-free
+    crop used by skimage SSIM (it filters with uniform_filter then crops
+    pad=(w-1)//2 on each side, so only interior values matter)."""
+    c = np.cumsum(np.cumsum(np.pad(x, ((1, 0), (1, 0)), mode="constant"),
+                            axis=0), axis=1)
+    s = c[w:, w:] - c[:-w, w:] - c[w:, :-w] + c[:-w, :-w]
+    return s / (w * w)
+
+
+def ssim_gray(im1: np.ndarray, im2: np.ndarray, data_range: float,
+              win_size: int = 7, K1: float = 0.01, K2: float = 0.03) -> float:
+    """structural_similarity equivalent for 2-D float images with
+    skimage defaults (uniform window, crop=True)."""
+    im1 = np.asarray(im1, np.float64)
+    im2 = np.asarray(im2, np.float64)
+    NP = win_size ** 2
+    cov_norm = NP / (NP - 1)  # sample covariance (skimage use_sample_covariance)
+    ux = _uniform_filter_valid(im1, win_size)
+    uy = _uniform_filter_valid(im2, win_size)
+    uxx = _uniform_filter_valid(im1 * im1, win_size)
+    uyy = _uniform_filter_valid(im2 * im2, win_size)
+    uxy = _uniform_filter_valid(im1 * im2, win_size)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    A1 = 2 * ux * uy + C1
+    A2 = 2 * vxy + C2
+    B1 = ux ** 2 + uy ** 2 + C1
+    B2 = vx + vy + C2
+    S = (A1 * A2) / (B1 * B2)
+    return float(S.mean())
+
+
+def ssim_bgr(img_true: np.ndarray, img_pred: np.ndarray) -> float:
+    """SSIM on the Y channel of BGR images in [0,255] (utils.py:662-669).
+
+    The reference's images flow through cv2 (BGR); it flips to RGB via
+    [:, :, ::-1] before _rgb2ycbcr. Inputs here are HWC BGR float arrays.
+    """
+    y_true = rgb2ycbcr(to_uint8(img_true, 0, 255)[:, :, ::-1])[:, :, 0]
+    y_pred = rgb2ycbcr(to_uint8(img_pred, 0, 255)[:, :, ::-1])[:, :, 0]
+    dr = y_pred.max() - y_pred.min()
+    return ssim_gray(y_true, y_pred, data_range=dr)
