@@ -127,7 +127,7 @@ _TEST_SCALE_PRESETS = {
 }
 
 
-def test_scales(cfg: FLDRConfig, n: int) -> FLDRConfig:
+def apply_test_scales(cfg: FLDRConfig, n: int) -> FLDRConfig:
     """Apply the --testNscales preset: deepen the pyramid for test only."""
     scales, fractions = _TEST_SCALE_PRESETS[n]
     return cfg.replace(scales=scales, fractions=fractions, S_tst=n, phase="test")
@@ -136,4 +136,4 @@ def test_scales(cfg: FLDRConfig, n: int) -> FLDRConfig:
 def papermodel_test5() -> FLDRConfig:
     """--papermodel --test5scales: the headline benchmark configuration
     (README.md:62, run_on_your_images.py:183-203)."""
-    return test_scales(papermodel(), 5)
+    return apply_test_scales(papermodel(), 5)

@@ -1,0 +1,276 @@
+"""Dataset indexers + frame loaders — parity with the reference data layer
+(utils.py:122-557, inter4kreader.py).
+
+Pure-Python indexers return path triplets + t values; decoding uses PIL (the
+image lacks cv2 — note cv2 loads BGR, PIL loads RGB; we flip to BGR so pixel
+tensors are byte-identical to the reference pipeline and SSIM's Y-of-BGR
+matches). The torch DataLoader's worker processes are replaced by a
+thread-pool prefetcher (fldrx/data/loader.py) feeding host→HBM transfers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import FLDRConfig
+
+
+def imread_bgr(path: str) -> np.ndarray:
+    """uint8 HWC BGR (cv2.imread convention, utils.py:213-215)."""
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.uint8)[..., ::-1]
+
+
+def frames_to_tensor(frames: np.ndarray) -> np.ndarray:
+    """[T,H,W,C] uint8 → [T,H,W,C] f32 in [-1,1] (RGBframes_np2Tensor,
+    utils.py:237-251). NHWC retained (TPU layout; reference goes CTHW)."""
+    return (frames.astype(np.float32) / 255.0 - 0.5) * 2.0
+
+
+# ---------------------------------------------------------------------------
+# test datasets: each item = (frames [3,H,W,C], t, scene_name, frame_paths)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TestItem:
+    paths: Tuple[str, str, str]      # I0, I1, It
+    t: float
+    scene: str
+
+
+class TestDataset:
+    items: List[TestItem]
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, idx: int, patch: int = -1) -> Tuple[np.ndarray, float, str]:
+        it = self.items[idx]
+        frames = np.stack([imread_bgr(p) for p in it.paths], 0)
+        if patch != -1:
+            ih, iw = frames.shape[1:3]
+            ix, iy = (iw - patch) // 2, (ih - patch) // 2
+            frames = frames[:, iy:iy + patch, ix:ix + patch]
+        return frames_to_tensor(frames), it.t, it.scene
+
+
+def make_x_test_items(root: str, multiple: int,
+                      t_step_size: int = 32) -> List[TestItem]:
+    """XVFI X-Test layout type/scene/*.png (make_2D_dataset_X_Test,
+    utils.py:414-432)."""
+    items = []
+    t = np.linspace(1 / multiple, 1 - 1 / multiple, multiple - 1)
+    for type_folder in sorted(glob.glob(os.path.join(root, "*", ""))):
+        for scene_folder in sorted(glob.glob(os.path.join(type_folder, "*", ""))):
+            frame_folder = sorted(glob.glob(scene_folder + "*.png"))
+            for idx in range(0, len(frame_folder), t_step_size):
+                if idx == len(frame_folder) - 1:
+                    break
+                for mul in range(multiple - 1):
+                    items.append(TestItem(
+                        paths=(frame_folder[idx],
+                               frame_folder[idx + t_step_size],
+                               frame_folder[idx + (t_step_size // multiple) * (mul + 1)]),
+                        t=float(t[mul]),
+                        scene=scene_folder.split(os.path.join(root, ""))[-1],
+                    ))
+    return items
+
+
+class XTest(TestDataset):
+    def __init__(self, cfg: FLDRConfig, multiple: int, validation: bool):
+        root = cfg.x_val_data_path if validation else cfg.x_test_data_path
+        self.items = make_x_test_items(root, multiple)
+        self.validation = validation
+        if not self.items:
+            raise RuntimeError(f"Found 0 files in subfolders of: {root}")
+
+
+XIPH_CLIPS = ["BoxingPractice", "Crosswalk", "DrivingPOV", "FoodMarket",
+              "FoodMarket2", "RitualDance", "SquareAndTimelapse", "Tango"]
+
+
+class XiphTest(TestDataset):
+    """8 Netflix clips × frames 2..98 step 2 → 392 triplets, t=0.5
+    (utils.py:157-203)."""
+
+    def __init__(self, cfg: FLDRConfig, crop_2k: bool = False):
+        self.items = []
+        self.crop_2k = crop_2k
+        for clip in XIPH_CLIPS:
+            for f in range(2, 99, 2):
+                p = lambda i: os.path.join(cfg.xiph_data_path,
+                                           f"{clip}-{str(i).zfill(3)}.png")
+                self.items.append(TestItem(
+                    paths=(p(f - 1), p(f + 1), p(f)), t=0.5,
+                    scene=f"{clip}/{f}"))
+        if not self.items:
+            raise RuntimeError("empty Xiph dataset")
+
+    def load(self, idx, patch=-1):
+        frames, t, scene = super().load(idx, patch)
+        if self.crop_2k:   # Xiph2KC center crop (utils.py:195-197)
+            frames = frames[:, 540:-540, 1024:-1024]
+        return frames, t, scene
+
+
+class Inter4KTest(TestDataset):
+    """Inter4K 8× interpolation over 8- ('S') or 16-frame ('L') spans
+    (inter4kreader.py:10-43). Folder layout: <root>/im<N>_<scene>.png style
+    scene folders of consecutive frames."""
+
+    MULTIPLE = 8
+
+    def __init__(self, cfg: FLDRConfig, scenerange: int):
+        root = cfg.inter4k_data_path
+        self.items = []
+        scenes = {}
+        for folder in sorted(glob.glob(os.path.join(root, "*", ""))):
+            frames = sorted(glob.glob(os.path.join(folder, "*.png")))
+            if frames:
+                scenes[folder] = frames
+        step = scenerange // self.MULTIPLE     # 1 (S) or 2 (L)
+        t_vals = np.linspace(1 / self.MULTIPLE, 1 - 1 / self.MULTIPLE,
+                             self.MULTIPLE - 1)
+        for folder, frames in scenes.items():
+            for start in range(0, len(frames) - scenerange, scenerange):
+                i0, i1 = frames[start], frames[start + scenerange]
+                for mul in range(self.MULTIPLE - 1):
+                    it = frames[start + step * (mul + 1)]
+                    self.items.append(TestItem(
+                        paths=(i0, i1, it), t=float(t_vals[mul]),
+                        scene=os.path.basename(os.path.dirname(folder))))
+
+
+class VimeoTest(TestDataset):
+    """vimeo_triplet tri_testlist (utils.py:522-557); t=0.5, frame order
+    im1/im3 inputs, im2 target."""
+
+    def __init__(self, cfg: FLDRConfig, validation: bool = False):
+        self.items = []
+        with open(os.path.join(cfg.vimeo_data_path, "tri_testlist.txt")) as f:
+            scene_paths = [ln.strip() for ln in f if ln.strip()]
+        if validation:
+            scene_paths = scene_paths[::37]
+        for sp in scene_paths:
+            fr = sorted(glob.glob(os.path.join(
+                cfg.vimeo_data_path, "sequences", sp, "*.png")))
+            if len(fr) >= 3:
+                # reference: I0, It, I1 = frames; inputs (I0, I1), target It
+                self.items.append(TestItem(paths=(fr[0], fr[2], fr[1]),
+                                           t=0.5, scene=sp))
+
+
+def get_test_dataset(cfg: FLDRConfig, name: str, multiple: int,
+                     validation: bool = False) -> TestDataset:
+    """Dataset-name dispatch (get_test_data, utils.py:132-151)."""
+    if name in ("X4K1000FPS", "X-Test"):
+        return XTest(cfg, multiple, validation)
+    if name == "Vimeo":
+        return VimeoTest(cfg, validation)
+    if name == "Xiph-4K":
+        return XiphTest(cfg)
+    if name == "Xiph2KC":
+        return XiphTest(cfg, crop_2k=True)
+    if name == "Inter4K-S":
+        return Inter4KTest(cfg, scenerange=8)
+    if name == "Inter4K-L":
+        return Inter4KTest(cfg, scenerange=16)
+    raise ValueError(f"unknown test dataset {name}")
+
+
+TEST_MULTIPLES = {"X4K1000FPS": 8, "XTest2KC": 8, "Inter4K-S": 8,
+                  "Inter4K-L": 8, "Xiph-4K": 2, "Xiph2KC": 2, "Vimeo": 2,
+                  "Adobe240": 8, "HD": 4}
+
+
+# ---------------------------------------------------------------------------
+# training dataset (X_Train, utils.py:369-409)
+# ---------------------------------------------------------------------------
+
+class XTrain:
+    """65-frame clips; random t_step in [2,32], random triplet with temporal
+    reversal, random crop / h-flip / rot90 augmentation."""
+
+    def __init__(self, cfg: FLDRConfig, max_t_step_size: int = 32):
+        self.cfg = cfg
+        self.max_t_step = max_t_step_size
+        self.clips = []
+        for scene in sorted(glob.glob(os.path.join(cfg.x_train_data_path, "*", ""))):
+            for sample in sorted(glob.glob(os.path.join(scene, "*", ""))):
+                frames = sorted(glob.glob(os.path.join(sample, "*.png")))
+                if frames:
+                    self.clips.append(frames)
+        if not self.clips:
+            raise RuntimeError(
+                f"Found 0 files in subfolders of: {cfg.x_train_data_path}")
+
+    def __len__(self):
+        return len(self.clips)
+
+    def sample(self, idx: int, rng: random.Random):
+        """Returns (frames [3,ps,ps,C] f32 [-1,1] — I0,I1,It — , t_value)."""
+        t_step = rng.randint(2, self.max_t_step)
+        t_list = np.linspace(1 / t_step, 1 - 1 / t_step, t_step - 1)
+        clip = self.clips[idx]
+        first = rng.randint(0, 64 - t_step)
+        inter = rng.randint(1, t_step - 1)
+        t_value = float(t_list[inter - 1])
+        if rng.randint(0, 1):
+            frange = [first, first + t_step, first + inter]
+        else:   # temporal reversal (utils.py:396-399)
+            frange = [first + t_step, first, first + inter]
+            t_value = 1.0 - t_value
+        frames = np.stack([imread_bgr(clip[i]) for i in frange], 0)
+
+        ps = self.cfg.patch_size
+        ih, iw = frames.shape[1:3]
+        ix = rng.randrange(0, iw - ps + 1)
+        iy = rng.randrange(0, ih - ps + 1)
+        frames = frames[:, iy:iy + ps, ix:ix + ps]
+        if rng.random() < 0.5:
+            frames = frames[:, :, ::-1]
+        rot = rng.randint(0, 3)
+        frames = np.rot90(frames, rot, (1, 2))
+        return frames_to_tensor(np.ascontiguousarray(frames)), t_value
+
+
+class VimeoTrain:
+    """vimeo_triplet tri_trainlist (utils.py:485-519); random temporal flip."""
+
+    def __init__(self, cfg: FLDRConfig):
+        self.cfg = cfg
+        self.clips = []
+        with open(os.path.join(cfg.vimeo_data_path, "tri_trainlist.txt")) as f:
+            for ln in f:
+                sp = ln.strip()
+                if sp:
+                    fr = sorted(glob.glob(os.path.join(
+                        cfg.vimeo_data_path, "sequences", sp, "*.png")))
+                    if len(fr) >= 3:
+                        self.clips.append(fr)
+
+    def __len__(self):
+        return len(self.clips)
+
+    def sample(self, idx: int, rng: random.Random):
+        clip = self.clips[idx]
+        frange = [0, 2, 1] if rng.randint(0, 1) else [2, 0, 1]
+        frames = np.stack([imread_bgr(clip[i]) for i in frange], 0)
+        ps = self.cfg.patch_size
+        ih, iw = frames.shape[1:3]
+        if ih >= ps and iw >= ps:
+            ix = rng.randrange(0, iw - ps + 1)
+            iy = rng.randrange(0, ih - ps + 1)
+            frames = frames[:, iy:iy + ps, ix:ix + ps]
+        if rng.random() < 0.5:
+            frames = frames[:, :, ::-1]
+        frames = np.rot90(frames, rng.randint(0, 3), (1, 2))
+        return frames_to_tensor(np.ascontiguousarray(frames)), 0.5

@@ -1,0 +1,108 @@
+"""Benchmark evaluation loop — the reference test() (main.py:784-980)
+rebuilt around the jitted Interpolator.
+
+Key behaviours kept: per-(multiple−1) reuse of the loaded frame pair, PSNR
+(skimage data_range=255) + SSIM (Y of BGR), per-t PSNR breakdown for Inter4K,
+malformed-sample skip list, stop/jump knobs, prediction-time meter.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import FLDRConfig
+from ..data.datasets import TEST_MULTIPLES, get_test_dataset
+from ..data.loader import test_samples
+from ..ops import metrics
+from .pipeline import Interpolator
+
+
+class Meter:
+    """AverageClass equivalent (utils.py:587-611)."""
+
+    def __init__(self, name=""):
+        self.name = name
+        self.sum = 0.0
+        self.count = 0.0
+        self.val = 0.0
+
+    def update(self, v, n=1.0):
+        self.val = v
+        self.sum += v * n
+        self.count += n
+
+    @property
+    def avg(self):
+        return self.sum / self.count if self.count else 0.0
+
+
+@dataclass
+class EvalResult:
+    psnr: float
+    ssim: float
+    pred_time_avg: float
+    frames_per_sec: float
+    per_t_psnr: List[float] = field(default_factory=list)
+    n_samples: int = 0
+    skipped: List[int] = field(default_factory=list)
+
+
+def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
+             multiple: Optional[int] = None, validation: bool = False,
+             stop_at: int = -1, save_dir: Optional[str] = None,
+             verbose: bool = True) -> EvalResult:
+    multiple = multiple or TEST_MULTIPLES.get(dataset_name, cfg.multiple)
+    ds = get_test_dataset(cfg, dataset_name, multiple, validation)
+    patch = (cfg.validation_patch_size if validation and
+             dataset_name in ("X4K1000FPS", "X-Test") else cfg.test_patch_size)
+
+    psnrs, ssims, pred_time = Meter(), Meter(), Meter()
+    per_t = [Meter() for _ in range(multiple - 1)]
+    skipped: List[int] = []
+
+    for idx, (frames, t, scene) in enumerate(test_samples(ds, patch)):
+        if frames is None or frames.ndim < 4:
+            skipped.append(idx)
+            continue
+        inputs = frames[None, :2]                     # [1,2,H,W,C]
+        target = frames[2]
+        t_arr = np.full((1, 1), t, np.float32)
+
+        t0 = time.time()
+        pred = interp.interpolate_np(inputs, t_arr)[0]
+        pred_time.update(time.time() - t0)
+
+        out_img = np.around(metrics.denorm255(pred))
+        tgt_img = metrics.denorm255(target)
+        p = metrics.psnr(tgt_img, out_img)
+        s = metrics.ssim_bgr(tgt_img, out_img)
+        psnrs.update(p)
+        ssims.update(s)
+        if dataset_name.startswith("Inter4K"):
+            per_t[int(round(t * multiple)) - 1].update(p)
+
+        if save_dir:
+            from PIL import Image
+            d = os.path.join(save_dir, dataset_name, scene.replace(os.sep, "_"))
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(out_img[..., ::-1].astype(np.uint8)).save(
+                os.path.join(d, f"{t:.4f}.png"))
+
+        if verbose and idx % (multiple - 1) == multiple - 2:
+            print(f"[{idx + 1}/{len(ds)}] PSNR {psnrs.avg:.4f}  "
+                  f"SSIM {ssims.avg:.4f}  pred {pred_time.avg * 1000:.1f} ms")
+        if stop_at != -1 and idx > stop_at:
+            break
+
+    if skipped and verbose:
+        print("These indices were skipped:", skipped)
+    return EvalResult(
+        psnr=psnrs.avg, ssim=ssims.avg, pred_time_avg=pred_time.avg,
+        frames_per_sec=(1.0 / pred_time.avg if pred_time.avg else 0.0),
+        per_t_psnr=[m.avg for m in per_t], n_samples=int(psnrs.count),
+        skipped=skipped)

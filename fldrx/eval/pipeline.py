@@ -1,0 +1,88 @@
+"""Inference pipeline: pad → pyramid → jitted forward, with a shape-keyed
+compilation cache.
+
+Parity targets: the test-time preprocessing in the reference driver
+(main.py:833-867: reflect-pad to (2^S_tst)*8 divisibility, bicubic pyramid
+with scale factor 8/s_i, no-grad forward, crop to original size).
+
+TPU-first: the whole thing — pad, 6-level pyramid build, PCA, flow recurrence,
+4K synthesis — is ONE jitted XLA program per input shape. Pyramid resizes are
+MXU matmuls; there is no host↔device ping-pong between levels. Compiled
+executables are cached keyed on (H, W, B, S_tst) since 4K eval uses a handful
+of shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FLDRConfig
+from ..model.fldrnet import forward_test
+from ..ops.pad import pad_amount
+from ..ops.resize import resize_2d
+
+
+def build_pyramid(frames: jnp.ndarray, cfg: FLDRConfig, n_levels: int):
+    """frames: [B, 2, H, W, C] (already padded). Level i is a bicubic
+    downscale by 8/scales[i] (main.py:855-856)."""
+    B, T, H, W, C = frames.shape
+    pyr = [frames]
+    flat = frames.reshape(B * T, H, W, C)
+    for i in range(1, n_levels):
+        f = cfg.scales[0] / cfg.scales[i]
+        oh, ow = int(H * f), int(W * f)
+        lev = resize_2d(flat, (oh, ow), "bicubic", cfg.align_corners)
+        pyr.append(lev.reshape(B, T, oh, ow, C))
+    return pyr
+
+
+def _interp_fn(cfg: FLDRConfig, padded_hw: Tuple[int, int],
+               orig_hw: Tuple[int, int], compute_dtype):
+    def fn(params, frames, t):
+        ph, pw = pad_amount(frames.shape[2], cfg.div_pad), pad_amount(
+            frames.shape[3], cfg.div_pad)
+        if ph or pw:
+            frames = jnp.pad(
+                frames, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
+                mode="reflect" if cfg.padding == "reflect" else "constant")
+        pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
+        return forward_test(params, cfg, pyr, t, orig_hw=orig_hw,
+                            compute_dtype=compute_dtype)
+    return fn
+
+
+class Interpolator:
+    """User-facing engine: holds params + config, jit-compiles per shape.
+
+    frames: [B, 2, H, W, 3] float32 in [-1,1] (RGB or BGR — the model is
+    colour-agnostic; the reference pipeline feeds BGR from cv2).
+    """
+
+    def __init__(self, params, cfg: FLDRConfig, donate: bool = False):
+        self.params = params
+        self.cfg = cfg
+        self._cache: Dict[Tuple, object] = {}
+        cd = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
+        self._compute_dtype = cd
+
+    def _compiled(self, shape):
+        key = tuple(shape)
+        if key not in self._cache:
+            B, T, H, W, C = shape
+            fn = _interp_fn(self.cfg, (H, W), (H, W), self._compute_dtype)
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
+    def __call__(self, frames, t) -> jnp.ndarray:
+        """Interpolate: returns [B, H, W, 3] at time(s) t [B,1]."""
+        frames = jnp.asarray(frames, jnp.float32)
+        t = jnp.asarray(t, jnp.float32).reshape(frames.shape[0], 1)
+        return self._compiled(frames.shape)(self.params, frames, t)
+
+    def interpolate_np(self, frames: np.ndarray, t) -> np.ndarray:
+        return np.asarray(self(frames, t))

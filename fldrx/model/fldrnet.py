@@ -1,0 +1,362 @@
+"""fLDRnet — TPU-native functional JAX implementation.
+
+Parity target: `DCTXVFInet`/`DCTVFInet`/`PCARefineUNet`
+(/root/reference/fLDRnet.py:25-644). The reference's per-level Python memory
+choreography (`del`/`empty_cache`, fLDRnet.py:424-499) is CUDA-OOM hygiene and
+is deliberately not ported — XLA owns buffer lifetimes.
+
+Design:
+  * NHWC activations, HWIO conv weights (TPU-native layout). Channel indices
+    inside the C axis match the reference's NCHW channel indices exactly, so
+    converted checkpoint weights produce identical outputs.
+  * Parameters are a plain nested-dict pytree (optax/orbax friendly).
+  * The pyramid level loop is unrolled in Python — each level has distinct
+    static shapes, which is exactly what XLA wants; the whole forward jits
+    into a single program.
+  * dtype policy: convs run in `compute_dtype` (f32 for parity, bf16 for
+    speed); splat normalisation, flow algebra and the PCA transform stay f32.
+
+Channel-order contract inherited from the reference (and baked into the
+trained weights): PCA features are ordered (c, t, comp) → channel
+c*2*nf + t*nf + comp, and `feat_x.reshape(B,2,48,...)` (fLDRnet.py:368)
+splits that axis in half, mixing frames between the halves. We replicate by
+splitting the last axis at 48.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FLDRConfig
+from ..ops.block_pca import block_pca_features
+from ..ops.resize import resize_2d
+from ..ops.splat import softsplat
+from ..ops.warp import bwarp
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def conv2d(p: Params, x: jnp.ndarray, stride: int = 1, pad: int = 1) -> jnp.ndarray:
+    """NHWC conv with HWIO weights, zero padding (nn.Conv2d default).
+
+    Precision policy: f32 activations request HIGHEST (the MXU's default
+    single-pass bf16 costs ~1e-2 abs error vs the reference); bf16
+    activations take the fast path — that's the speed-mode opt-in.
+    """
+    w = p["w"].astype(x.dtype)
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec,
+    )
+    return y + p["b"].astype(x.dtype)
+
+
+def relu(x):
+    return jax.nn.relu(x)
+
+
+def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:
+    """nn.UpsamplingNearest2d(scale_factor=2) — exact pixel repeat."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
+def _seq_conv_relu(ps: Sequence[Params], x: jnp.ndarray) -> jnp.ndarray:
+    """conv-ReLU chain with no activation after the last conv
+    (conv_flow_bottom / conv_flow2 pattern, fLDRnet.py:318-345)."""
+    for i, p in enumerate(ps):
+        x = conv2d(p, x)
+        if i != len(ps) - 1:
+            x = relu(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# PCARefineUNet (fLDRnet.py:584-644)
+# ---------------------------------------------------------------------------
+
+def refine_unet(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    enc1 = relu(conv2d(p["enc1"], x, stride=2, pad=1))        # 4x4/2
+    enc2 = relu(conv2d(p["enc2"], enc1, stride=2, pad=1))
+    out = relu(conv2d(p["enc3"], enc2, stride=2, pad=1))
+    out = relu(conv2d(p["dec0"], out))
+    out = upsample_nearest2x(out)
+    out = jnp.concatenate([out, enc2], axis=-1)
+    out = relu(conv2d(p["dec1"], out))
+    out = upsample_nearest2x(out)
+    out = jnp.concatenate([out, enc1], axis=-1)
+    out = relu(conv2d(p["dec2"], out))
+    out = upsample_nearest2x(out)
+    return conv2d(p["dec3"], out)
+
+
+# ---------------------------------------------------------------------------
+# per-level flow estimation (fLDRnet.py:376-397)
+# ---------------------------------------------------------------------------
+
+def level_flow(p: Params, feat: jnp.ndarray,
+               flow_prev: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """One DCTVFInet flow step on PCA features.
+
+    feat: [B, h, w, 96]; split at 48 exactly as feat_x.reshape(B,2,48,...)
+    (fLDRnet.py:368) — a frame-mixing split the trained weights expect.
+    Returns flow [B, h, w, 4] = (flow_10_x, flow_10_y, flow_01_x, flow_01_y).
+    """
+    half = feat.shape[-1] // 2
+    feat0 = feat[..., :half]
+    feat1 = feat[..., half:]
+    if flow_prev is None:
+        tmp = _seq_conv_relu(p["flow_bottom"], jnp.concatenate([feat0, feat1], -1))
+        return tmp[..., :4]
+    # upsample previous flow; the reference scales ALL 4 channels by the
+    # width ratio only (fLDRnet.py:384-385) and detaches
+    h, w = feat.shape[1], feat.shape[2]
+    prev = jax.lax.stop_gradient(flow_prev)
+    up = resize_2d(prev, (h, w), "bilinear") * (w / flow_prev.shape[2])
+    warped1 = softsplat(feat1, up[..., 0:2])
+    warped0 = softsplat(feat0, up[..., 2:4])
+    a = conv2d(p["conv_flow1"], jnp.concatenate([feat0, warped1], -1))
+    b = conv2d(p["conv_flow1"], jnp.concatenate([feat1, warped0], -1))
+    tmp = _seq_conv_relu(p["conv_flow2"], jnp.concatenate([a, b, up], -1))
+    return tmp[..., :4] + up
+
+
+# ---------------------------------------------------------------------------
+# synthesis (fLDRnet.py:400-543)
+# ---------------------------------------------------------------------------
+
+def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
+               t: jnp.ndarray, crop_hw: Optional[Tuple[int, int]] = None):
+    """Warp + blend at one level.
+
+    flow_l: [B, h, w, 4] on the feature grid; images: [B, 2, H, W, 3] with
+    H = 8h (this level's frames); t: [B, 1].
+    Returns (out, flow_refine, occ_0, endflow) where out is [B, H, W, 3].
+    """
+    B = flow_l.shape[0]
+    tb = t.reshape(B, 1, 1, 1).astype(flow_l.dtype)
+    flow_10 = flow_l[..., 0:2]
+    flow_01 = flow_l[..., 2:4]
+    flow_t0 = tb * flow_01
+    flow_t1 = (1.0 - tb) * flow_10
+    flow_refine = jnp.concatenate([flow_t0, flow_t1], -1)   # feature-grid res
+
+    H, W = images.shape[2], images.shape[3]
+    upscale = H // flow_l.shape[1]
+
+    def up(f):
+        return upscale * resize_2d(f, (H, W), "bilinear")
+
+    flow_t0, flow_t1, flow_10, flow_01 = up(flow_t0), up(flow_t1), up(flow_10), up(flow_01)
+
+    x0 = images[:, 0]
+    x1 = images[:, 1]
+    if crop_hw is not None:
+        ch, cw = crop_hw
+        flow_t0, flow_t1 = flow_t0[:, :ch, :cw], flow_t1[:, :ch, :cw]
+        flow_10, flow_01 = flow_10[:, :ch, :cw], flow_01[:, :ch, :cw]
+        x0, x1 = x0[:, :ch, :cw], x1[:, :ch, :cw]
+
+    z_alpha = p["z_alpha"].astype(flow_t0.dtype)
+    # importance metric z = mean_c(z_alpha * |I - bwarp(I_other)|) (:439-446)
+    im_1_0 = bwarp(x1, flow_01)
+    z0 = jnp.mean(z_alpha[0] * jnp.abs(x0 - im_1_0), axis=-1, keepdims=True)
+    im_0_1 = bwarp(x0, flow_10)
+    z1 = jnp.mean(z_alpha[1] * jnp.abs(x1 - im_0_1), axis=-1, keepdims=True)
+
+    warped0 = softsplat(x0, flow_t0, z=z0)
+    warped1 = softsplat(x1, flow_t1, z=z1)
+
+    # backward-warp candidates via flow composition (:474-479)
+    flowback_0 = bwarp(flow_10 * tb, (1.0 - tb) * flow_01)
+    flowback_1 = bwarp(flow_01 * (1.0 - tb), tb * flow_10)
+    im0_tot = bwarp(x0, flowback_0)
+    im1_tot = bwarp(x1, flowback_1)
+
+    refine_in = jnp.concatenate(
+        [x0, x1, warped0, warped1, flow_t0, flow_t1,
+         flowback_0, flowback_1, im0_tot, im1_tot], -1)      # 26 ch (:480)
+    out = refine_unet(p["refine"], refine_in)
+
+    T = p["T_param"].astype(out.dtype)
+    occ = jax.nn.softmax(out[..., :6] / T, axis=-1)
+
+    w0 = (1 - tb) * occ[..., 0:1]
+    w1 = tb * occ[..., 1:2]
+    w2 = (1 - tb) * occ[..., 2:3]
+    w3 = tb * occ[..., 3:4]
+    w4 = (1 - tb) * occ[..., 4:5]
+    w5 = tb * occ[..., 5:6]
+    divisor = w0 + w1 + w2 + w3 + w4 + w5
+    out_l = (w0 * warped0 + w1 * warped1 + w2 * im0_tot + w3 * im1_tot
+             + w4 * x0 + w5 * x1) / divisor
+    return out_l, flow_refine, occ[..., 0:1], (flow_t0, flow_t1)
+
+
+# ---------------------------------------------------------------------------
+# top-level forward (DCTXVFInet.forward, fLDRnet.py:106-223)
+# ---------------------------------------------------------------------------
+
+def extract_features(params: Params, cfg: FLDRConfig,
+                     pyramid: Sequence[jnp.ndarray], n_levels: int,
+                     compute_dtype=jnp.float32) -> List[jnp.ndarray]:
+    """Per-level PCA features + residual context conv (fLDRnet.py:133-163).
+
+    With the papermodel's ExacOneEV+allImUp the scale-8 EV/Mean/meanVec are
+    shared across all levels (fLDRnet.py:136,146).
+    """
+    pca = params["pca"]
+    feats = []
+    for i in range(n_levels):
+        f = block_pca_features(
+            pyramid[i], pca["mean"], pca["ev"], pca["mean_vec"],
+            wiS=cfg.wiS, compute_dtype=jnp.float32,
+        ).astype(compute_dtype)
+        r = relu(conv2d(params["rec_ctx"]["conv0"], f))
+        r = relu(conv2d(params["rec_ctx"]["conv1"], r))
+        feats.append(r + f)
+    return feats
+
+
+def forward_test(params: Params, cfg: FLDRConfig,
+                 pyramid: Sequence[jnp.ndarray], t: jnp.ndarray,
+                 orig_hw: Optional[Tuple[int, int]] = None,
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Inference: coarse-to-fine flow on levels S_tst..1, synthesis at level 0.
+
+    pyramid[i]: [B, 2, H_i, W_i, 3] (i = 0 finest); returns [B, H, W, 3]
+    cropped to orig_hw (the reference crops to output_size_test,
+    fLDRnet.py:222; we crop to the caller's pre-padding size).
+    """
+    S = cfg.S_tst
+    feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
+    vp = params["vfinet"]
+    flow = None
+    for level in range(S, 0, -1):
+        flow = level_flow(vp, feats[level], flow)
+    flow = level_flow(vp, feats[0], flow)
+    out, _, _, _ = synthesize(vp, flow.astype(jnp.float32),
+                              pyramid[0].astype(jnp.float32), t)
+    if orig_hw is not None:
+        out = out[:, :orig_hw[0], :orig_hw[1]]
+    return out
+
+
+def forward_train(params: Params, cfg: FLDRConfig,
+                  pyramid: Sequence[jnp.ndarray], t: jnp.ndarray,
+                  validation: bool = False,
+                  compute_dtype=jnp.float32):
+    """Training forward: synthesis at every level S_trn..0 (fLDRnet.py:171-207).
+
+    Returns dict with out pyramid (fine→coarse), refined/unrefined flows,
+    occ_0 at level 0, mean_pics, endflow list — mirroring the reference's
+    6-tuple return.
+    """
+    S = cfg.S_trn
+    feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
+    vp = params["vfinet"]
+
+    crop = None
+    if validation:
+        crop = (cfg.validation_patch_size, cfg.validation_patch_size)
+
+    outs, flow_refines, unrefined, endflows = [], [], [], []
+    flow = None
+    for level in range(S, -1, -1):
+        flow = level_flow(vp, feats[level], flow)
+        out, fr, occ0, endflow = synthesize(
+            vp, flow.astype(jnp.float32), pyramid[level].astype(jnp.float32),
+            t, crop_hw=crop)
+        outs.append(out)
+        flow_refines.append(fr)
+        unrefined.append(flow)
+        endflows.append(endflow)
+
+    return {
+        "out_pyramid": outs[::-1],          # fine → coarse
+        "flow_refine_pyramid": flow_refines[::-1],
+        "unrefined_flow_pyramid": unrefined[::-1],
+        "occ_0": occ0,
+        "mean_pics": jnp.mean(pyramid[0], axis=1),
+        "endflow_pyramid": endflows[::-1],
+    }
+
+
+# ---------------------------------------------------------------------------
+# initialisation (weights_init: xavier_normal_, zero bias — utils.py:113-119)
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, kh, kw, cin, cout, dtype=jnp.float32) -> Params:
+    fan_in = cin * kh * kw
+    fan_out = cout * kh * kw
+    std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+    w = jax.random.normal(key, (kh, kw, cin, cout), dtype) * std
+    return {"w": w, "b": jnp.zeros((cout,), dtype)}
+
+
+def init_params(key, cfg: FLDRConfig, dtype=jnp.float32) -> Params:
+    """Fresh parameters matching the reference architecture/shapes.
+
+    PCA params start as placeholders (the reference fills them from the
+    first-batch PCA fit, main.py:556-557 / fLDRnet.py:225-278)."""
+    nf = cfg.nf                      # 48
+    dnf = cfg.dctvfi_nf              # 16
+    u = cfg.unet_nf                  # 16
+    keys = iter(jax.random.split(key, 32))
+
+    flow_bottom = [
+        _conv_init(next(keys), 3, 3, 2 * nf, 2 * nf, dtype),
+        _conv_init(next(keys), 3, 3, 2 * nf, 2 * nf, dtype),
+        _conv_init(next(keys), 3, 3, 2 * nf, 2 * nf, dtype),
+        _conv_init(next(keys), 3, 3, 2 * nf, nf, dtype),
+        _conv_init(next(keys), 3, 3, nf, 6, dtype),     # tempbottomflowfix → 6
+    ]
+    conv_flow2 = [
+        _conv_init(next(keys), 3, 3, 2 * nf + 4, 2 * nf, dtype),
+        _conv_init(next(keys), 3, 3, 2 * nf, 2 * nf, dtype),
+        _conv_init(next(keys), 3, 3, 2 * nf, nf, dtype),
+        _conv_init(next(keys), 3, 3, nf, nf, dtype),
+        _conv_init(next(keys), 3, 3, nf, 4, dtype),
+    ]
+    refine = {
+        "enc1": _conv_init(next(keys), 4, 4, cfg.unet_in, u, dtype),
+        "enc2": _conv_init(next(keys), 4, 4, u, 2 * u, dtype),
+        "enc3": _conv_init(next(keys), 4, 4, 2 * u, 4 * u, dtype),
+        "dec0": _conv_init(next(keys), 3, 3, 4 * u, 4 * u, dtype),
+        "dec1": _conv_init(next(keys), 3, 3, 6 * u, 2 * u, dtype),
+        "dec2": _conv_init(next(keys), 3, 3, 3 * u, u, dtype),
+        "dec3": _conv_init(next(keys), 3, 3, u, cfg.unet_out, dtype),
+    }
+    return {
+        "pca": {
+            "mean": jnp.zeros((cfg.wiS ** 2,), dtype),
+            "ev": jnp.eye(dnf, cfg.wiS ** 2, dtype=dtype),
+            "mean_vec": jnp.ones((dnf,), dtype),
+        },
+        "rec_ctx": {
+            "conv0": _conv_init(next(keys), 3, 3, dnf * 6, dnf * 6, dtype),
+            "conv1": _conv_init(next(keys), 3, 3, dnf * 6, dnf * 6, dtype),
+        },
+        "vfinet": {
+            "T_param": jnp.ones((1,), dtype),
+            "z_alpha": jnp.ones((2,), dtype),
+            "flow_bottom": flow_bottom,
+            "conv_flow1": _conv_init(next(keys), 3, 3, 2 * nf, nf, dtype),
+            "conv_flow2": conv_flow2,
+            "refine": refine,
+        },
+    }

@@ -1,0 +1,76 @@
+"""Checkpoint/resume + experiment logging — save_manager equivalent
+(reference utils.py:28-104, main.py:755-775).
+
+Format: .npz of the flattened param/opt pytrees + scalar meta, mirroring the
+reference's combined dict {last_epoch, trainLoss, testLoss, testPSNR,
+best_PSNR, state_dict_*}. Files: <model_dir>_latest.npz, copied to
+_best_PSNR.npz on val-PSNR improvement, plus _epc<N>.npz every 10 epochs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+
+from ..config import FLDRConfig
+from ..tools.convert_ckpt import flatten_params, unflatten_params
+
+
+class SaveManager:
+    def __init__(self, cfg: FLDRConfig):
+        self.cfg = cfg
+        self.model_dir = cfg.model_dir
+        self.ckpt_dir = os.path.join(cfg.checkpoint_dir, self.model_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        os.makedirs(cfg.text_dir, exist_ok=True)
+        self.text_path = os.path.join(cfg.text_dir, f"{self.model_dir}.txt")
+
+    # -- text log (utils.py:47-60) --------------------------------------
+    def write_info(self, line: str):
+        with open(self.text_path, "a") as f:
+            f.write(line if line.endswith("\n") else line + "\n")
+
+    def write_config(self):
+        import dataclasses
+        with open(self.text_path, "a") as f:
+            for k, v in dataclasses.asdict(self.cfg).items():
+                f.write(f"# {k} : {v}\n")
+
+    # -- checkpoints -----------------------------------------------------
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.ckpt_dir, f"{self.model_dir}_{tag}.npz")
+
+    def save(self, params, meta: Dict[str, Any], opt_state=None,
+             best: bool = False, epoch: Optional[int] = None):
+        flat = flatten_params(jax.tree.map(np.asarray, params))
+        blob = {f"params/{k}": v for k, v in flat.items()}
+        for k, v in meta.items():
+            blob[f"meta/{k}"] = np.asarray(v)
+        np.savez(self._path("latest"), **blob)
+        if best:
+            shutil.copyfile(self._path("latest"), self._path("best_PSNR"))
+        if epoch is not None and (epoch + 1) % 10 == 0:
+            shutil.copyfile(self._path("latest"), self._path(f"epc{epoch}"))
+
+    def load(self, take_best: bool = False, specific_epoch: int = -1):
+        """Returns (params, meta) from best/latest/specific checkpoint
+        (utils.py:85-97)."""
+        if specific_epoch >= 0:
+            path = self._path(f"epc{specific_epoch}")
+        elif take_best:
+            path = self._path("best_PSNR")
+        else:
+            path = self._path("latest")
+        z = np.load(path)
+        flat = {k[len("params/"):]: z[k] for k in z.files if k.startswith("params/")}
+        meta = {k[len("meta/"):]: z[k] for k in z.files if k.startswith("meta/")}
+        return unflatten_params(flat), meta
+
+    def exists(self, take_best: bool = False) -> bool:
+        tag = "best_PSNR" if take_best else "latest"
+        return os.path.exists(self._path(tag))

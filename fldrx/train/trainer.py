@@ -1,0 +1,110 @@
+"""Training: optax optimizer with the reference's two-LR param groups,
+MultiStep schedule, jitted train step, and the T-optimization stage.
+
+Parity targets: main.py:444-781 — Adam(lr=1e-4, betas=(0.9,0.999)) with
+EV/Mean params at 0.1× lr (main.py:460-465), MultiStepLR milestones
+[70,120,170] γ=0.25 (useful.py:175), loss suite (losses.py), freeze-all-but-
+T_param during T-optimization (main.py:517-524).
+
+TPU-first: one jitted step covers pyramid build → forward (all levels) →
+losses → grads → update. Under a (dp, sp) mesh the same step runs SPMD; the
+global PCA min/max and loss means lower to cross-device all-reduces
+automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import FLDRConfig
+from ..eval.pipeline import build_pyramid
+from ..model.fldrnet import forward_train
+from .losses import total_loss
+
+
+def param_labels(params, cfg: FLDRConfig):
+    """Label pytree for optax.multi_transform.
+
+    'ev'    : PCA mean + eigenvectors (0.1× lr group, main.py:460)
+    'frozen': meanVec (never optimized, fLDRnet.py:87-90); everything except
+              T_param under T-optimization (main.py:517-524)
+    'base'  : all other weights
+    """
+    def label(path, _leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if cfg.t_optimization:
+            return "base" if keys[:2] == ["vfinet", "T_param"] else "frozen"
+        if keys[0] == "pca":
+            return "frozen" if keys[1] == "mean_vec" else "ev"
+        return "base"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def lr_schedule(cfg: FLDRConfig, steps_per_epoch: int):
+    """MultiStepLR: ×γ at each milestone epoch."""
+    boundaries = {m * steps_per_epoch: cfg.lr_dec_fac for m in cfg.lr_milestones}
+    return optax.piecewise_constant_schedule(cfg.init_lr, boundaries)
+
+
+def make_optimizer(cfg: FLDRConfig, params,
+                   steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    sched = lr_schedule(cfg, steps_per_epoch)
+
+    def adam(scale: float):
+        chain = [optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)]
+        if cfg.weight_decay:
+            chain.append(optax.add_decayed_weights(cfg.weight_decay))
+        chain += [optax.scale_by_schedule(sched), optax.scale(-scale)]
+        return optax.chain(*chain)
+
+    return optax.multi_transform(
+        {"base": adam(1.0), "ev": adam(cfg.evlr), "frozen": optax.set_to_zero()},
+        param_labels(params, cfg),
+    )
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, cfg: FLDRConfig, steps_per_epoch: int = 1):
+        tx = make_optimizer(cfg, params, steps_per_epoch)
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            opt_state=new_opt)
+
+
+def make_train_step(cfg: FLDRConfig, mesh=None, donate: bool = True):
+    """Returns jitted step(state, batch) → (state, metrics).
+
+    batch: frames [B,2,H,W,3], target [B,H,W,3], t [B,1] — all in [-1,1].
+    """
+
+    def loss_fn(params, batch):
+        frames = batch["frames"]
+        pyr = build_pyramid(frames, cfg, cfg.S_trn + 1)
+        out = forward_train(params, cfg, pyr, batch["t"])
+        return total_loss(cfg, out, batch["target"], frames, batch["t"])
+
+    def step(state: TrainState, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)

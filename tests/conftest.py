@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# Authoritative platform pin: the env var can be captured by jax.config before
+# this conftest runs (plugin import order), so set the config value directly.
+jax.config.update("jax_platforms", "cpu")
+
 # f64 golden tests compare against the reference's float64 PCA math; the model
 # itself runs f32/bf16 (explicit dtypes) so enabling x64 here is test-only.
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,110 @@
+"""End-to-end parity: the JAX fLDRnet with converted checkpoint weights vs the
+CPU-torch oracle of the reference forward, on small random frames."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from fldrx.config import papermodel, apply_test_scales
+from fldrx.model.fldrnet import forward_test, init_params
+from fldrx.ops.resize import resize_2d
+from fldrx.tools.convert_ckpt import (DEFAULT_SRC, load_reference_state_dict,
+                                      state_dict_to_params)
+from reference_oracle import oracle_forward_test
+
+CKPT = DEFAULT_SRC
+needs_ckpt = pytest.mark.skipif(not os.path.exists(CKPT),
+                                reason="reference checkpoint not available")
+
+
+def build_pyramids(frames_nchw, scales, S):
+    """frames_nchw: [B,3,2,H,W] numpy. Returns (torch-layout list, jax-layout
+    list) of per-level pyramids built with the fldrx bicubic resize (itself
+    golden-tested against torch)."""
+    B, C, T, H, W = frames_nchw.shape
+    x = jnp.asarray(np.transpose(frames_nchw, (0, 2, 3, 4, 1)))  # [B,2,H,W,C]
+    pyr_jax, pyr_torch = [], []
+    for i, s in enumerate(scales[:S + 1]):
+        f = 8 / s
+        lev = x if i == 0 else resize_2d(
+            x.reshape(B * T, H, W, C), (int(H * f), int(W * f)), "bicubic"
+        ).reshape(B, T, int(H * f), int(W * f), C)
+        pyr_jax.append(lev)
+        pyr_torch.append(np.transpose(np.asarray(lev), (0, 4, 1, 2, 3)))
+    return pyr_torch, pyr_jax
+
+
+@needs_ckpt
+@pytest.mark.parametrize("t_val", [0.5, 0.125])
+def test_forward_parity_with_checkpoint(t_val):
+    sd, _ = load_reference_state_dict(CKPT)
+    sd_t = {k: torch.from_numpy(v) for k, v in sd.items()}
+    params_np, _ = state_dict_to_params(sd)
+    import jax
+    params = jax.tree.map(jnp.asarray, params_np)
+
+    cfg = apply_test_scales(papermodel(), 5).replace(S_tst=2)
+    # S_tst=2 keeps the test fast but exercises bottom + recurrent + synthesis
+    rng = np.random.RandomState(0)
+    B, H, W = 1, 128, 192
+    base = rng.rand(B, 3, 1, H // 4, W // 4) * 2 - 1
+    up = torch.nn.functional.interpolate(
+        torch.from_numpy(base[:, :, 0]), size=(H, W), mode="bicubic",
+        align_corners=False).numpy()
+    # two frames: smooth image and a shifted copy (a plausible motion pair)
+    f0 = up
+    f1 = np.roll(up, shift=3, axis=-1)
+    frames = np.stack([f0, f1], axis=2).astype(np.float32)  # [B,3,2,H,W]
+
+    pyr_t, pyr_j = build_pyramids(frames, cfg.scales, cfg.S_tst)
+    t = np.full((B, 1), t_val, np.float32)
+
+    ref = oracle_forward_test(sd_t, pyr_t, t, cfg.S_tst)
+    got = forward_test(params, cfg, pyr_j, jnp.asarray(t))
+    got_nchw = np.moveaxis(np.asarray(got), -1, 1)
+
+    assert got_nchw.shape == ref.shape
+    diff = np.abs(got_nchw - ref)
+    # f32-vs-f64 PCA + conv accumulation-order tolerance; outputs are in [-1,1]
+    assert diff.max() < 5e-3, f"max diff {diff.max()}"
+    assert diff.mean() < 5e-4, f"mean diff {diff.mean()}"
+
+
+@needs_ckpt
+def test_forward_train_shapes():
+    sd, _ = load_reference_state_dict(CKPT)
+    params_np, _ = state_dict_to_params(sd)
+    import jax
+    from fldrx.model.fldrnet import forward_train
+    params = jax.tree.map(jnp.asarray, params_np)
+    cfg = papermodel().replace(S_trn=2, S_tst=2, phase="train")
+    rng = np.random.RandomState(1)
+    B, H, W = 2, 64, 64
+    frames = (rng.rand(B, 3, 2, H, W) * 2 - 1).astype(np.float32)
+    pyr_t, pyr_j = build_pyramids(frames, cfg.scales, cfg.S_trn)
+    t = np.full((B, 1), 0.5, np.float32)
+    out = forward_train(params, cfg, pyr_j, jnp.asarray(t))
+    assert len(out["out_pyramid"]) == 3
+    assert out["out_pyramid"][0].shape == (B, H, W, 3)
+    assert out["out_pyramid"][1].shape == (B, H // 2, W // 2, 3)
+    assert out["flow_refine_pyramid"][0].shape == (B, H // 8, W // 8, 4)
+    assert out["occ_0"].shape == (B, H, W, 1)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out["out_pyramid"])
+
+
+def test_init_params_forward_runs():
+    """Random-init model must run the full test forward (no checkpoint)."""
+    import jax
+    cfg = papermodel().replace(S_tst=1)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(2)
+    B, H, W = 1, 64, 64
+    frames = (rng.rand(B, 3, 2, H, W) * 2 - 1).astype(np.float32)
+    _, pyr_j = build_pyramids(frames, cfg.scales, cfg.S_tst)
+    out = forward_test(params, cfg, pyr_j, jnp.full((B, 1), 0.5))
+    assert out.shape == (B, H, W, 3)
+    assert np.isfinite(np.asarray(out)).all()
