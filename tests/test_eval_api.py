@@ -1,0 +1,145 @@
+"""Eval pipeline + public API + CLI tests (tiny shapes, random weights)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fldrx.config import papermodel, papermodel_test5
+from fldrx.eval.pipeline import Interpolator, build_pyramid
+from fldrx.model.fldrnet import init_params
+from fldrx.ops import metrics
+
+
+def _interp(S=1, compute="float32"):
+    cfg = papermodel().replace(S_tst=S, compute_dtype=compute)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return Interpolator(params, cfg), cfg
+
+
+def test_build_pyramid_shapes():
+    cfg = papermodel_test5()
+    x = jnp.zeros((1, 2, 256, 512, 3))
+    pyr = build_pyramid(x, cfg, cfg.S_tst + 1)
+    assert [p.shape[2:4] for p in pyr] == [
+        (256, 512), (128, 256), (64, 128), (32, 64), (16, 32), (8, 16)]
+
+
+def test_interpolator_pads_and_crops():
+    interp, _ = _interp(S=1)
+    # 70x100 is not divisible by 16 (=2^1*8): must pad internally, crop back
+    frames = np.random.RandomState(0).rand(1, 2, 70, 100, 3).astype(np.float32)
+    out = interp.interpolate_np(frames * 2 - 1, [[0.5]])
+    assert out.shape == (1, 70, 100, 3)
+    assert np.isfinite(out).all()
+
+
+def test_interpolator_shape_cache():
+    interp, _ = _interp(S=1)
+    f = np.zeros((1, 2, 32, 32, 3), np.float32)
+    interp.interpolate_np(f, [[0.5]])
+    interp.interpolate_np(f, [[0.25]])
+    assert len(interp._cache) == 1
+    interp.interpolate_np(np.zeros((1, 2, 64, 32, 3), np.float32), [[0.5]])
+    assert len(interp._cache) == 2
+
+
+def test_identical_frames_roundtrip():
+    """With zero motion (identical frames) and TRAINED weights, the output
+    should stay close to the input frame (all 6 blend candidates agree)."""
+    from fldrx.tools.convert_ckpt import (DEFAULT_SRC,
+                                          load_reference_state_dict,
+                                          state_dict_to_params)
+    if not os.path.exists(DEFAULT_SRC):
+        pytest.skip("reference checkpoint not available")
+    sd, _ = load_reference_state_dict(DEFAULT_SRC)
+    params = jax.tree.map(jnp.asarray, state_dict_to_params(sd)[0])
+    cfg = papermodel().replace(S_tst=2)
+    interp = Interpolator(params, cfg)
+    rng = np.random.RandomState(3)
+    base = rng.rand(1, 12, 16, 3).astype(np.float32) * 2 - 1
+    from fldrx.ops.resize import resize_2d
+    base = np.asarray(resize_2d(jnp.asarray(base), (96, 128)))  # smooth
+    frames = np.stack([base, base], 1)
+    out = interp.interpolate_np(frames, [[0.5]])
+    assert np.abs(out - base).mean() < 0.05
+
+
+def test_bfloat16_path_runs():
+    interp, _ = _interp(S=1, compute="bfloat16")
+    f = np.random.RandomState(0).rand(1, 2, 32, 32, 3).astype(np.float32)
+    out = interp.interpolate_np(f * 2 - 1, [[0.5]])
+    assert out.shape == (1, 32, 32, 3)
+    assert np.isfinite(out).all()
+
+
+def test_run_on_images_api(tmp_path):
+    from fldrx.api import run_on_images
+    interp, cfg = _interp(S=1)
+    rng = np.random.RandomState(1)
+    # torch layout [B,C,T,H,W] with T=3 (I0, I1, It)
+    frames = (rng.rand(1, 3, 3, 32, 48) * 2 - 1).astype(np.float32)
+    psnr = run_on_images(interp, cfg, None, frames, [[0.5]],
+                         resfold=str(tmp_path), evalit=True)
+    assert np.isfinite(psnr) and psnr > 0
+    assert os.path.exists(tmp_path / "4.png")
+    # NHWC layout also accepted
+    frames_nhwc = np.transpose(frames, (0, 2, 3, 4, 1))
+    psnr2 = run_on_images(interp, cfg, None, frames_nhwc, [[0.5]], evalit=True)
+    np.testing.assert_allclose(psnr, psnr2, rtol=1e-6)
+
+
+def test_evaluator_on_synthetic_dataset(tmp_path):
+    from PIL import Image
+    from fldrx.eval.evaluator import evaluate
+    rng = np.random.RandomState(0)
+    root = tmp_path / "xtest"
+    for scene in ("TEST01",):
+        d = root / "Type1" / scene
+        d.mkdir(parents=True)
+        for i in range(33):
+            Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+                d / f"{i:04d}.png")
+    interp, cfg = _interp(S=1)
+    cfg = cfg.replace(x_test_data_path=str(root))
+    res = evaluate(interp, cfg, "X4K1000FPS", multiple=2, verbose=False)
+    assert res.n_samples == 1
+    assert np.isfinite(res.psnr) and np.isfinite(res.ssim)
+    assert res.frames_per_sec > 0
+
+
+def test_cli_config_building():
+    import main as cli
+    args = cli.parse_args(["--papermodel", "--test5scales", "--exp_num", "3"])
+    cfg = cli.build_config(args)
+    assert cfg.S_tst == 5
+    assert cfg.scales == (8, 16, 32, 64, 128, 256)
+    assert cfg.exp_num == 3
+    assert cfg.phase == "test"
+    assert cfg.dctvfi_nf == 16
+
+    args = cli.parse_args(["--phase", "train", "--papermodel",
+                           "--batch_size", "4"])
+    cfg = cli.build_config(args)
+    assert cfg.phase == "train"
+    assert cfg.batch_size == 4
+    assert cfg.S_trn == 3
+
+    # unknown reference flags are tolerated
+    args = cli.parse_args(["--papermodel", "--pin_memory_test", "--gpu", "0"])
+    assert args.papermodel
+
+
+def test_metrics_match_skimage_formulas():
+    rng = np.random.RandomState(0)
+    a = rng.rand(32, 32, 3) * 255
+    b = np.clip(a + rng.randn(32, 32, 3) * 5, 0, 255)
+    p = metrics.psnr(a, b)
+    mse = np.mean((a - b) ** 2)
+    np.testing.assert_allclose(p, 10 * np.log10(255 ** 2 / mse), rtol=1e-9)
+    s = metrics.ssim_bgr(a, b)
+    assert 0.5 < s <= 1.0
+    assert metrics.ssim_bgr(a, a) > 0.999

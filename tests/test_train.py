@@ -1,0 +1,135 @@
+"""Training-stack tests: loss parity with the reference formulas, optimizer
+param groups, one real train step (loss decreases), T-optimization freezing."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from fldrx.config import papermodel
+from fldrx.model.fldrnet import init_params
+from fldrx.train.losses import (endflow_forward_warp_loss, pyramid_rec_loss,
+                                smoothness_forward_loss, total_loss)
+from fldrx.train.trainer import TrainState, make_train_step, param_labels
+
+
+def torch_smoothness_forward(flow, img0, img1, weight=150.0):
+    """set_smoothness_loss_forward, fixsmoothtwistup branch (utils.py:866-900)."""
+    w2 = weight ** 2
+    flow_01 = flow[:, :2]
+    flow_10 = flow[:, 2:]
+    img0_gh = torch.mean((img0[:, :, 1:] - img0[:, :, :-1]) ** 2, 1, keepdim=True)
+    img0_gw = torch.mean((img0[:, :, :, 1:] - img0[:, :, :, :-1]) ** 2, 1, keepdim=True)
+    img1_gh = torch.mean((img1[:, :, 1:] - img1[:, :, :-1]) ** 2, 1, keepdim=True)
+    img1_gw = torch.mean((img1[:, :, :, 1:] - img1[:, :, :, :-1]) ** 2, 1, keepdim=True)
+    w0_gh, w0_gw = torch.exp(-w2 * img0_gh), torch.exp(-w2 * img0_gw)
+    w1_gh, w1_gw = torch.exp(-w2 * img1_gh), torch.exp(-w2 * img1_gw)
+    f10_gh = (flow_10[:, :, 1:] - flow_10[:, :, :-1]).abs()
+    f10_gw = (flow_10[:, :, :, 1:] - flow_10[:, :, :, :-1]).abs()
+    f01_gh = (flow_01[:, :, 1:] - flow_01[:, :, :-1]).abs()
+    f01_gw = (flow_01[:, :, :, 1:] - flow_01[:, :, :, :-1]).abs()
+    return ((w0_gh * f01_gh).mean() + (w1_gh * f10_gh).mean()
+            + (w0_gw * f01_gw).mean() + (w1_gw * f10_gw).mean()) * 0.25
+
+
+def test_smoothness_matches_reference():
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 16, 24
+    flow = (rng.randn(B, H, W, 4) * 0.3).astype(np.float32)
+    img0 = np.tanh(rng.randn(B, H, W, 3) * 0.05).astype(np.float32)
+    img1 = np.tanh(rng.randn(B, H, W, 3) * 0.05).astype(np.float32)
+    ref = torch_smoothness_forward(
+        torch.from_numpy(np.moveaxis(flow, -1, 1).copy()),
+        torch.from_numpy(np.moveaxis(img0, -1, 1).copy()),
+        torch.from_numpy(np.moveaxis(img1, -1, 1).copy())).item()
+    got = float(smoothness_forward_loss(jnp.asarray(flow), jnp.asarray(img0),
+                                        jnp.asarray(img1)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_rec_loss_pyramid():
+    cfg = papermodel()
+    rng = np.random.RandomState(1)
+    target = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    outs = [jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 16, 16, 3))]
+    v = float(pyramid_rec_loss(cfg, outs, target))
+    # L1(0, target) at two scales averaged: both ≈ E|target| ≈ 0.8 for randn
+    assert 0.5 < v < 1.2
+
+
+def test_param_labels_groups():
+    cfg = papermodel()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    labels = param_labels(params, cfg)
+    assert labels["pca"]["mean"] == "ev"
+    assert labels["pca"]["ev"] == "ev"
+    assert labels["pca"]["mean_vec"] == "frozen"
+    assert labels["vfinet"]["T_param"] == "base"
+    assert labels["vfinet"]["refine"]["enc1"]["w"] == "base"
+
+    tcfg = cfg.replace(t_optimization=True)
+    tl = param_labels(params, tcfg)
+    assert tl["vfinet"]["T_param"] == "base"
+    assert tl["vfinet"]["refine"]["enc1"]["w"] == "frozen"
+    assert tl["pca"]["ev"] == "frozen"
+
+
+def _tiny_batch(cfg, B=2, H=64, W=64, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "frames": (rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32),
+        "target": (rng.rand(B, H, W, 3) * 2 - 1).astype(np.float32),
+        "t": np.full((B, 1), 0.5, np.float32),
+    }
+
+
+def test_train_step_decreases_loss():
+    cfg = papermodel().replace(S_trn=1, S_tst=1, init_lr=1e-3, phase="train")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state = TrainState.create(params, cfg)
+    step = make_train_step(cfg, donate=False)
+    batch = _tiny_batch(cfg)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_toptim_only_updates_T():
+    cfg = papermodel().replace(S_trn=1, S_tst=1, t_optimization=True,
+                               init_lr=1e-2, phase="train")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state = TrainState.create(params, cfg)
+    step = make_train_step(cfg, donate=False)
+    batch = _tiny_batch(cfg)
+    w_before = np.asarray(state.params["vfinet"]["refine"]["enc1"]["w"])
+    T_before = float(state.params["vfinet"]["T_param"][0])
+    state, _ = step(state, batch)
+    state, _ = step(state, batch)
+    w_after = np.asarray(state.params["vfinet"]["refine"]["enc1"]["w"])
+    T_after = float(state.params["vfinet"]["T_param"][0])
+    np.testing.assert_array_equal(w_before, w_after)
+    assert T_after != T_before
+
+
+def test_lr_groups_scale_ev_updates():
+    """EV params move ~0.1x the base-lr step magnitude (Adam steps are ~lr)."""
+    cfg = papermodel().replace(S_trn=1, S_tst=1, init_lr=1e-3, phase="train")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state = TrainState.create(params, cfg)
+    step = make_train_step(cfg, donate=False)
+    state2, _ = step(state, _tiny_batch(cfg))
+    d_ev = np.abs(np.asarray(state2.params["pca"]["ev"])
+                  - np.asarray(state.params["pca"]["ev"])).max()
+    d_base = np.abs(np.asarray(state2.params["vfinet"]["conv_flow1"]["w"])
+                    - np.asarray(state.params["vfinet"]["conv_flow1"]["w"])).max()
+    mv_same = np.array_equal(np.asarray(state2.params["pca"]["mean_vec"]),
+                             np.asarray(state.params["pca"]["mean_vec"]))
+    assert mv_same                       # frozen group
+    # Adam first step is ±lr per coordinate: ev group ≈ 0.1×base
+    assert d_ev < d_base * 0.5
+    assert d_ev > 0
