@@ -53,7 +53,10 @@ class TestDataset:
 
     def load(self, idx: int, patch: int = -1) -> Tuple[np.ndarray, float, str]:
         it = self.items[idx]
-        frames = np.stack([imread_bgr(p) for p in it.paths], 0)
+        from .native import decode_png_batch_bgr
+        frames = decode_png_batch_bgr(list(it.paths), threads=3)
+        if frames is None:    # native decoder unavailable → PIL fallback
+            frames = np.stack([imread_bgr(p) for p in it.paths], 0)
         if patch != -1:
             ih, iw = frames.shape[1:3]
             ix, iy = (iw - patch) // 2, (ih - patch) // 2
