@@ -71,6 +71,10 @@ class FLDRConfig:
     # documented tolerance (SURVEY.md §7 hard-part 3).
     compute_dtype: str = "float32"    # bfloat16 for speed path, float32 for parity
     param_dtype: str = "float32"
+    # Pallas warp engine (ops/fastwarp.py) on the inference path; the exact
+    # XLA ops remain the training/autodiff path and the fallback for
+    # non-tile-divisible shapes.
+    fast_warp: bool = True
 
     # --- paths ---
     checkpoint_dir: str = "./checkpoint_dir"

@@ -108,14 +108,25 @@ def refine_unet(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 # per-level flow estimation (fLDRnet.py:376-397)
 # ---------------------------------------------------------------------------
 
+def _warp_fns(fast: bool):
+    """(bwarp, softsplat) implementation pair: exact XLA (autodiff path) or
+    the Pallas warp engine (inference hot path, ops/fastwarp.py)."""
+    if fast:
+        from ..ops.fastwarp import bwarp_fast, softsplat_fast
+        return bwarp_fast, softsplat_fast
+    return bwarp, softsplat
+
+
 def level_flow(p: Params, feat: jnp.ndarray,
-               flow_prev: Optional[jnp.ndarray]) -> jnp.ndarray:
+               flow_prev: Optional[jnp.ndarray],
+               fast: bool = False) -> jnp.ndarray:
     """One DCTVFInet flow step on PCA features.
 
     feat: [B, h, w, 96]; split at 48 exactly as feat_x.reshape(B,2,48,...)
     (fLDRnet.py:368) — a frame-mixing split the trained weights expect.
     Returns flow [B, h, w, 4] = (flow_10_x, flow_10_y, flow_01_x, flow_01_y).
     """
+    _, ssplat = _warp_fns(fast)
     half = feat.shape[-1] // 2
     feat0 = feat[..., :half]
     feat1 = feat[..., half:]
@@ -127,8 +138,8 @@ def level_flow(p: Params, feat: jnp.ndarray,
     h, w = feat.shape[1], feat.shape[2]
     prev = jax.lax.stop_gradient(flow_prev)
     up = resize_2d(prev, (h, w), "bilinear") * (w / flow_prev.shape[2])
-    warped1 = softsplat(feat1, up[..., 0:2])
-    warped0 = softsplat(feat0, up[..., 2:4])
+    warped1 = ssplat(feat1, up[..., 0:2])
+    warped0 = ssplat(feat0, up[..., 2:4])
     a = conv2d(p["conv_flow1"], jnp.concatenate([feat0, warped1], -1))
     b = conv2d(p["conv_flow1"], jnp.concatenate([feat1, warped0], -1))
     tmp = _seq_conv_relu(p["conv_flow2"], jnp.concatenate([a, b, up], -1))
@@ -140,7 +151,8 @@ def level_flow(p: Params, feat: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
-               t: jnp.ndarray, crop_hw: Optional[Tuple[int, int]] = None):
+               t: jnp.ndarray, crop_hw: Optional[Tuple[int, int]] = None,
+               fast: bool = False):
     """Warp + blend at one level.
 
     flow_l: [B, h, w, 4] on the feature grid; images: [B, 2, H, W, 3] with
@@ -171,21 +183,22 @@ def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
         flow_10, flow_01 = flow_10[:, :ch, :cw], flow_01[:, :ch, :cw]
         x0, x1 = x0[:, :ch, :cw], x1[:, :ch, :cw]
 
+    bw, ssplat = _warp_fns(fast)
     z_alpha = p["z_alpha"].astype(flow_t0.dtype)
     # importance metric z = mean_c(z_alpha * |I - bwarp(I_other)|) (:439-446)
-    im_1_0 = bwarp(x1, flow_01)
+    im_1_0 = bw(x1, flow_01)
     z0 = jnp.mean(z_alpha[0] * jnp.abs(x0 - im_1_0), axis=-1, keepdims=True)
-    im_0_1 = bwarp(x0, flow_10)
+    im_0_1 = bw(x0, flow_10)
     z1 = jnp.mean(z_alpha[1] * jnp.abs(x1 - im_0_1), axis=-1, keepdims=True)
 
-    warped0 = softsplat(x0, flow_t0, z=z0)
-    warped1 = softsplat(x1, flow_t1, z=z1)
+    warped0 = ssplat(x0, flow_t0, z=z0)
+    warped1 = ssplat(x1, flow_t1, z=z1)
 
     # backward-warp candidates via flow composition (:474-479)
-    flowback_0 = bwarp(flow_10 * tb, (1.0 - tb) * flow_01)
-    flowback_1 = bwarp(flow_01 * (1.0 - tb), tb * flow_10)
-    im0_tot = bwarp(x0, flowback_0)
-    im1_tot = bwarp(x1, flowback_1)
+    flowback_0 = bw(flow_10 * tb, (1.0 - tb) * flow_01)
+    flowback_1 = bw(flow_01 * (1.0 - tb), tb * flow_10)
+    im0_tot = bw(x0, flowback_0)
+    im1_tot = bw(x1, flowback_1)
 
     refine_in = jnp.concatenate(
         [x0, x1, warped0, warped1, flow_t0, flow_t1,
@@ -243,14 +256,15 @@ def forward_test(params: Params, cfg: FLDRConfig,
     fLDRnet.py:222; we crop to the caller's pre-padding size).
     """
     S = cfg.S_tst
+    fast = getattr(cfg, "fast_warp", False)
     feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
     vp = params["vfinet"]
     flow = None
     for level in range(S, 0, -1):
-        flow = level_flow(vp, feats[level], flow)
-    flow = level_flow(vp, feats[0], flow)
+        flow = level_flow(vp, feats[level], flow, fast=fast)
+    flow = level_flow(vp, feats[0], flow, fast=fast)
     out, _, _, _ = synthesize(vp, flow.astype(jnp.float32),
-                              pyramid[0].astype(jnp.float32), t)
+                              pyramid[0].astype(jnp.float32), t, fast=fast)
     if orig_hw is not None:
         out = out[:, :orig_hw[0], :orig_hw[1]]
     return out
