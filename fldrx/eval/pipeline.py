@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FLDRConfig
-from ..model.fldrnet import forward_test
+from ..model.fldrnet import forward_flow, forward_synthesis, forward_test
 from ..ops.pad import pad_amount
 from ..ops.resize import resize_2d
 
@@ -86,3 +86,57 @@ class Interpolator:
 
     def interpolate_np(self, frames: np.ndarray, t) -> np.ndarray:
         return np.asarray(self(frames, t))
+
+    # -- multi-t throughput mode ---------------------------------------
+    # Flow is t-independent (fLDRnet.py:400-405 scales it by t only at
+    # synthesis); the reference re-runs the whole model per t (main.py:867).
+    # Here ×N interpolation computes features+flow once per frame pair.
+
+    def _compiled_flow(self, shape):
+        key = ("flow",) + tuple(shape)
+        if key not in self._cache:
+            cfg = self.cfg
+
+            def fn(params, frames):
+                ph = pad_amount(frames.shape[2], cfg.div_pad)
+                pw = pad_amount(frames.shape[3], cfg.div_pad)
+                if ph or pw:
+                    frames = jnp.pad(
+                        frames, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
+                        mode="reflect" if cfg.padding == "reflect" else "constant")
+                pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
+                return forward_flow(params, cfg, pyr,
+                                    self._compute_dtype), frames
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
+    def _compiled_synth(self, shape):
+        key = ("synth",) + tuple(shape)
+        if key not in self._cache:
+            cfg = self.cfg
+
+            def fn(params, flow, padded_frames, t):
+                return forward_synthesis(params, cfg, flow, padded_frames, t)
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
+    def precompute_flow(self, frames):
+        """frames [B,2,H,W,3] in [-1,1] → (flow, padded_frames)."""
+        frames = jnp.asarray(frames, jnp.float32)
+        return self._compiled_flow(frames.shape)(self.params, frames)
+
+    def synthesize_at(self, flow, padded_frames, t, orig_hw):
+        t = jnp.asarray(t, jnp.float32).reshape(flow.shape[0], 1)
+        out = self._compiled_synth(padded_frames.shape)(
+            self.params, flow, padded_frames, t)
+        return out[:, :orig_hw[0], :orig_hw[1]]
+
+    def interpolate_multi_np(self, frames: np.ndarray, t_values) -> np.ndarray:
+        """×N mode: one flow computation, one synthesis per t.
+        Returns [len(t_values), B, H, W, 3]."""
+        H, W = frames.shape[2], frames.shape[3]
+        flow, padded = self.precompute_flow(frames)
+        outs = [np.asarray(self.synthesize_at(flow, padded[:, :, :, :],
+                                              tv, (H, W)))
+                for tv in t_values]
+        return np.stack(outs, 0)

@@ -245,6 +245,40 @@ def extract_features(params: Params, cfg: FLDRConfig,
     return feats
 
 
+def forward_flow(params: Params, cfg: FLDRConfig,
+                 pyramid: Sequence[jnp.ndarray],
+                 compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Coarse-to-fine flow estimation (levels S_tst..0). t-independent: the
+    reference recomputes this per t-value (main.py:867 runs the full model
+    for each of the multiple-1 targets); splitting it out lets ×8
+    interpolation amortize features+flow across the 7 synthesis calls."""
+    S = cfg.S_tst
+    fast = getattr(cfg, "fast_warp", False)
+    with jax.named_scope("pca_features"):
+        feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
+    vp = params["vfinet"]
+    flow = None
+    for level in range(S, 0, -1):
+        with jax.named_scope(f"flow_level_{level}"):
+            flow = level_flow(vp, feats[level], flow, fast=fast)
+    with jax.named_scope("flow_level_0"):
+        flow = level_flow(vp, feats[0], flow, fast=fast)
+    return flow
+
+
+def forward_synthesis(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
+                      images: jnp.ndarray, t: jnp.ndarray,
+                      orig_hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+    """Level-0 synthesis for one t given precomputed flow."""
+    fast = getattr(cfg, "fast_warp", False)
+    with jax.named_scope("synthesis"):
+        out, _, _, _ = synthesize(params["vfinet"], flow.astype(jnp.float32),
+                                  images.astype(jnp.float32), t, fast=fast)
+    if orig_hw is not None:
+        out = out[:, :orig_hw[0], :orig_hw[1]]
+    return out
+
+
 def forward_test(params: Params, cfg: FLDRConfig,
                  pyramid: Sequence[jnp.ndarray], t: jnp.ndarray,
                  orig_hw: Optional[Tuple[int, int]] = None,
@@ -255,19 +289,8 @@ def forward_test(params: Params, cfg: FLDRConfig,
     cropped to orig_hw (the reference crops to output_size_test,
     fLDRnet.py:222; we crop to the caller's pre-padding size).
     """
-    S = cfg.S_tst
-    fast = getattr(cfg, "fast_warp", False)
-    feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
-    vp = params["vfinet"]
-    flow = None
-    for level in range(S, 0, -1):
-        flow = level_flow(vp, feats[level], flow, fast=fast)
-    flow = level_flow(vp, feats[0], flow, fast=fast)
-    out, _, _, _ = synthesize(vp, flow.astype(jnp.float32),
-                              pyramid[0].astype(jnp.float32), t, fast=fast)
-    if orig_hw is not None:
-        out = out[:, :orig_hw[0], :orig_hw[1]]
-    return out
+    flow = forward_flow(params, cfg, pyramid, compute_dtype)
+    return forward_synthesis(params, cfg, flow, pyramid[0], t, orig_hw)
 
 
 def forward_train(params: Params, cfg: FLDRConfig,

@@ -113,10 +113,15 @@ def _ok_mask(sx_t, sy_t, oy, ox, winx):
 # gather (backward warp)
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(C, winx, origins_ref, img_hbm, sx_ref, sy_ref, out_ref,
+def _gather_kernel(C, winx, origins_ref, img_hbm, coords_ref, out_ref,
                    win_ref, sem):
-    """One output tile; window DMAs are double-buffered across grid steps
-    (issue tile i+1's window before consuming tile i's)."""
+    """One output tile; window DMAs double-buffered across grid steps.
+
+    Layout discipline (all 2-D, no narrow-minor tensors — a [.., N, 1] array
+    costs 128x lane padding in HBM): coords arrive as rows [2, N] (sx, sy);
+    the x-row is turned into a column vector with an exact 1-wide MXU
+    contraction; the output leaves transposed [C, N].
+    """
     i = pl.program_id(0)
     n = pl.num_programs(0)
     oy = origins_ref[2 * i]
@@ -137,59 +142,75 @@ def _gather_kernel(C, winx, origins_ref, img_hbm, sx_ref, sy_ref, out_ref,
     def _():
         window_dma(i + 1).start()
 
-    N = sx_ref.shape[1]
-    rx = sx_ref[0] - ox.astype(jnp.float32)      # [N, 1] window-relative
-    ry = sy_ref[0] - oy.astype(jnp.float32)
-    x0 = jnp.floor(rx)
-    y0 = jnp.floor(ry)
-    fx = rx - x0
-    fy = ry - y0
-    ok = ((x0 >= 0) & (x0 <= winx - 2) & (y0 >= 0) & (y0 <= WINY - 2))
-    x0c = jnp.clip(x0, 0, winx - 2).astype(jnp.int32)
-    y0c = jnp.clip(y0, 0, WINY - 2).astype(jnp.int32)
+    N = coords_ref.shape[2]
+    sxr = coords_ref[0, 0:1, :] - ox.astype(jnp.float32)   # [1, N]
+    syr = coords_ref[0, 1:2, :] - oy.astype(jnp.float32)
 
-    iv = jax.lax.broadcasted_iota(jnp.int32, (N, WINY), 1)
-    RY = ((iv == y0c).astype(jnp.float32) * (1.0 - fy)
-          + (iv == y0c + 1).astype(jnp.float32) * fy)
+    # y side stays row-oriented: transposed one-hot RYT [WINY, N]
+    y0r = jnp.floor(syr)
+    fyr = syr - y0r
+    y0cr = jnp.clip(y0r, 0, WINY - 2).astype(jnp.int32)
+    ivT = jax.lax.broadcasted_iota(jnp.int32, (WINY, N), 0)
+    RYT = ((ivT == y0cr).astype(jnp.float32) * (1.0 - fyr)
+           + (ivT == y0cr + 1).astype(jnp.float32) * fyr)
+
+    # x side needs column vectors: exact row->col transpose on the MXU
+    one = jnp.ones((1, 1), jnp.float32)
+    xcol = jax.lax.dot_general(sxr, one, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # [N,1]
+    x0 = jnp.floor(xcol)
+    fx = xcol - x0
+    x0c = jnp.clip(x0, 0, winx - 2).astype(jnp.int32)
     iu = jax.lax.broadcasted_iota(jnp.int32, (N, winx * C), 1) // C
     CXe = ((iu == x0c).astype(jnp.float32) * (1.0 - fx)
            + (iu == x0c + 1).astype(jnp.float32) * fx)
+
+    okr = ((x0 >= 0) & (x0 <= winx - 2)).astype(jnp.float32)      # [N, 1]
+    okyr = ((y0r >= 0) & (y0r <= WINY - 2)).astype(jnp.float32)   # [1, N]
+
     jc = jax.lax.broadcasted_iota(jnp.int32, (winx * C, C), 0) % C
     cc = jax.lax.broadcasted_iota(jnp.int32, (winx * C, C), 1)
     M = (jc == cc).astype(jnp.float32)
 
     window_dma(i).wait()
-    t1 = jnp.dot(RY, win_ref[i % 2], preferred_element_type=jnp.float32)
-    out = jnp.dot(CXe * t1, M, preferred_element_type=jnp.float32)
-    out_ref[0] = out * ok.astype(jnp.float32)
+    # t1[i, uc] = sum_v RYT[v, i] * win[v, uc]  (contract dim0 x dim0)
+    t1 = jax.lax.dot_general(RYT, win_ref[i % 2].astype(jnp.bfloat16),
+                             (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [N, winxC]
+    prod = CXe * t1 * okr
+    # outT[c, i] = sum_uc M[uc, c] * prod[i, uc]
+    outT = jax.lax.dot_general(M, prod, (((0,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [C, N]
+    out_ref[0] = outT * okyr
 
 
 def _gather_fast(img_pad2d, sx_t, sy_t, origins, n_tiles, C, winx):
     N = TILE * TILE
+    coords = jnp.stack([sx_t, sy_t], axis=1)               # [ntiles, 2, N]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, N, 1), lambda i, o: (i, 0, 0)),
-            pl.BlockSpec((1, N, 1), lambda i, o: (i, 0, 0)),
+            pl.BlockSpec((1, 2, N), lambda i, o: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, N, C), lambda i, o: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, C, N), lambda i, o: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, WINY, winx * C), jnp.float32),
+            pltpu.VMEM((2, WINY, winx * C), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    return pl.pallas_call(
+    out_t = pl.pallas_call(
         functools.partial(_gather_kernel, C, winx),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, N, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, C, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(origins, img_pad2d,
-      sx_t.reshape(n_tiles, N, 1), sy_t.reshape(n_tiles, N, 1))
+    )(origins, img_pad2d, coords)
+    return jnp.moveaxis(out_t, 1, 2)                       # [ntiles, N, C]
 
 
 def _sample_coords(flow: jnp.ndarray, H: int, W: int):
@@ -258,8 +279,9 @@ def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
         Hp, Wp = img_pad.shape[0], img_pad.shape[1]
         origins = jnp.stack([oy, ox], axis=1).reshape(-1)
         n_tiles = (H // TILE) * (W // TILE)
-        out_t = _gather_fast(img_pad.reshape(Hp, Wp * C), sx_t, sy_t,
-                             origins, n_tiles, C, winx)
+        out_t = _gather_fast(
+            img_pad.reshape(Hp, Wp * C).astype(jnp.bfloat16), sx_t, sy_t,
+            origins, n_tiles, C, winx)
         out = _tile_unflatten(out_t, H, W)
         ok = _tile_unflatten(ok_t[..., None], H, W)[..., 0]
         out = _slow_gather_fix(img, sx, sy, out, ok, H, W, C)
@@ -292,11 +314,13 @@ def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
 # splat (forward warp, summation mode)
 # ---------------------------------------------------------------------------
 
-def _splat_kernel(C, winx, origins_ref, acc_in, vals_ref, tx_ref, ty_ref,
+def _splat_kernel(C, winx, origins_ref, acc_in, coords_ref, vals_ref,
                   acc_out, win_ref, sem_in, sem_out):
     """One source tile: window RMW accumulate. acc_in/acc_out are the SAME
-    HBM buffer (input_output_aliased); grid is sequential so read-add-write
-    per step is race-free."""
+    HBM buffer (input_output_aliased); the sequential grid makes the
+    read-add-write race-free. Same 2-D layout discipline as the gather
+    kernel: coords rows [2, N] (tx, ty), values transposed [C, N].
+    """
     i = pl.program_id(0)
     oy = origins_ref[2 * i]
     ox = origins_ref[2 * i + 1]
@@ -307,32 +331,43 @@ def _splat_kernel(C, winx, origins_ref, acc_in, vals_ref, tx_ref, ty_ref,
         win_ref, sem_in)
     read.start()
 
-    N = vals_ref.shape[1]
-    tx = tx_ref[0] - ox.astype(jnp.float32)      # [N, 1]
-    ty = ty_ref[0] - oy.astype(jnp.float32)      # [1, N]
-    x0 = jnp.floor(tx)
-    y0 = jnp.floor(ty)
-    fx = tx - x0
-    fy = ty - y0
-    okx = (x0 >= 0) & (x0 <= winx - 2)
-    oky = (y0 >= 0) & (y0 <= WINY - 2)
-    x0c = jnp.clip(x0, 0, winx - 2).astype(jnp.int32)
-    y0c = jnp.clip(y0, 0, WINY - 2).astype(jnp.int32)
+    N = coords_ref.shape[2]
+    txr = coords_ref[0, 0:1, :] - ox.astype(jnp.float32)   # [1, N]
+    tyr = coords_ref[0, 1:2, :] - oy.astype(jnp.float32)
 
-    # RYT[v, i]: transposed row one-hot (built transposed, no transposes)
-    iv = jax.lax.broadcasted_iota(jnp.int32, (WINY, N), 0)
-    RYT = ((iv == y0c).astype(jnp.float32) * (1.0 - fy)
-           + (iv == y0c + 1).astype(jnp.float32) * fy)
-    RYT = RYT * oky.astype(jnp.float32)
+    y0r = jnp.floor(tyr)
+    fyr = tyr - y0r
+    okyr = ((y0r >= 0) & (y0r <= WINY - 2)).astype(jnp.float32)
+    y0cr = jnp.clip(y0r, 0, WINY - 2).astype(jnp.int32)
+    ivT = jax.lax.broadcasted_iota(jnp.int32, (WINY, N), 0)
+    RYT = ((ivT == y0cr).astype(jnp.float32) * (1.0 - fyr)
+           + (ivT == y0cr + 1).astype(jnp.float32) * fyr) * okyr
+
+    one = jnp.ones((1, 1), jnp.float32)
+    xcol = jax.lax.dot_general(txr, one, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # [N,1]
+    x0 = jnp.floor(xcol)
+    fx = xcol - x0
+    okx = ((x0 >= 0) & (x0 <= winx - 2)).astype(jnp.float32)
+    x0c = jnp.clip(x0, 0, winx - 2).astype(jnp.int32)
     iu = jax.lax.broadcasted_iota(jnp.int32, (N, winx * C), 1) // C
     CXe = ((iu == x0c).astype(jnp.float32) * (1.0 - fx)
-           + (iu == x0c + 1).astype(jnp.float32) * fx)
-    CXe = CXe * okx.astype(jnp.float32)
-    # vals expanded across the window: Ve[i, u*C+c] = vals[i, c]
-    # Ve[i, u*C+c] = vals[i, c]: lane-tile the value rows across the window
-    Ve = pltpu.repeat(vals_ref[0], winx, axis=1)
+           + (iu == x0c + 1).astype(jnp.float32) * fx) * okx
 
-    contrib = jnp.dot(RYT, CXe * Ve, preferred_element_type=jnp.float32)
+    # vals [N, C] from transposed rows (exact 1-wide MXU contraction), then
+    # lane-tiled across the window: Ve[i, u*C+c] = vals[i, c]
+    eyeC = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)).astype(
+                jnp.float32)
+    vals = jax.lax.dot_general(vals_ref[0], eyeC, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # [N, C]
+    Ve = pltpu.repeat(vals, winx, axis=1)
+
+    contrib = jnp.dot(RYT.astype(jnp.bfloat16),
+                      (CXe * Ve).astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
     read.wait()
     win_ref[...] = win_ref[...] + contrib
     write = pltpu.make_async_copy(
@@ -349,14 +384,15 @@ def _splat_fast(vals_t, tx_t, ty_t, origins, H, W, C, winx):
     pady, padx = WINY, winx
     Hp, WpC = H + 2 * pady, (W + 2 * padx) * C
     acc0 = jnp.zeros((Hp, WpC), jnp.float32)
+    coords = jnp.stack([tx_t, ty_t], axis=1)               # [ntiles, 2, N]
+    valsT = jnp.moveaxis(vals_t, 1, 2)                     # [ntiles, C, N]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),    # accumulator
-            pl.BlockSpec((1, N, C), lambda i, o: (i, 0, 0)),     # values
-            pl.BlockSpec((1, N, 1), lambda i, o: (i, 0, 0)),     # tx [N,1]
-            pl.BlockSpec((1, 1, N), lambda i, o: (i, 0, 0)),     # ty [1,N]
+            pl.BlockSpec((1, 2, N), lambda i, o: (i, 0, 0)),     # coords
+            pl.BlockSpec((1, C, N), lambda i, o: (i, 0, 0)),     # values^T
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
@@ -369,14 +405,13 @@ def _splat_fast(vals_t, tx_t, ty_t, origins, H, W, C, winx):
         functools.partial(_splat_kernel, C, winx),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Hp, WpC), jnp.float32),
-        input_output_aliases={1: 0},     # acc0 (arg after scalar) → output
+        input_output_aliases={1: 0},     # acc0 (arg after scalar) -> output
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(origins, acc0, vals_t,
-      tx_t.reshape(n_tiles, N, 1), ty_t.reshape(n_tiles, 1, N))
+    )(origins, acc0, coords, valsT)
     acc = acc.reshape(Hp, W + 2 * padx, C)
     return acc[pady:pady + H, padx:padx + W]
 

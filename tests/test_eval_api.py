@@ -143,3 +143,25 @@ def test_metrics_match_skimage_formulas():
     s = metrics.ssim_bgr(a, b)
     assert 0.5 < s <= 1.0
     assert metrics.ssim_bgr(a, a) > 0.999
+
+
+def test_multi_t_matches_single_t():
+    """×N mode (flow computed once) must match the single-shot forward."""
+    interp, _ = _interp(S=1)
+    rng = np.random.RandomState(7)
+    frames = (rng.rand(1, 2, 64, 96, 3) * 2 - 1).astype(np.float32)
+    t_values = [0.25, 0.5, 0.75]
+    multi = interp.interpolate_multi_np(frames, t_values)
+    for k, tv in enumerate(t_values):
+        single = interp.interpolate_np(frames, [[tv]])
+        np.testing.assert_allclose(multi[k], single, atol=1e-6)
+
+
+def test_multi_t_with_padding():
+    interp, _ = _interp(S=1)
+    rng = np.random.RandomState(8)
+    frames = (rng.rand(1, 2, 50, 70, 3) * 2 - 1).astype(np.float32)
+    multi = interp.interpolate_multi_np(frames, [0.5])
+    assert multi.shape == (1, 1, 50, 70, 3)
+    single = interp.interpolate_np(frames, [[0.5]])
+    np.testing.assert_allclose(multi[0], single, atol=1e-6)

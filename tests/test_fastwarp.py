@@ -19,7 +19,7 @@ importlib.reload(fastwarp)
 from fldrx.ops.splat import softsplat, splat_sum
 from fldrx.ops.warp import bwarp
 
-TOL = 1e-4 if fastwarp._INTERPRET else 3e-3
+TOL = 1.5e-2  # kernels intentionally run bf16 windows/matmuls
 
 
 @pytest.fixture(scope="module")
