@@ -11,15 +11,22 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-os.environ["FLDRX_PALLAS_INTERPRET"] = "1"
-
 from fldrx.ops import fastwarp
-importlib.reload(fastwarp)
-
 from fldrx.ops.splat import softsplat, splat_sum
 from fldrx.ops.warp import bwarp
 
 TOL = 1.5e-2  # kernels intentionally run bf16 windows/matmuls
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _interpret_mode():
+    """Interpret-mode Pallas for this module only — the env flag must not
+    leak into other tests (the parity suite needs the exact XLA fallback)."""
+    os.environ["FLDRX_PALLAS_INTERPRET"] = "1"
+    importlib.reload(fastwarp)
+    yield
+    os.environ.pop("FLDRX_PALLAS_INTERPRET", None)
+    importlib.reload(fastwarp)
 
 
 @pytest.fixture(scope="module")
