@@ -222,32 +222,40 @@ def _sample_coords(flow: jnp.ndarray, H: int, W: int):
     return sx, sy
 
 
-def _slow_gather_fix(img, sx, sy, out_fast, ok, H, W, C):
-    """Exact gather for spilled pixels, compacted to SPILL_CAP indices;
-    full exact gather when over cap."""
+SPILL_TILES = 512          # max exactly-refixed tiles before full fallback
+
+
+def _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C):
+    """Exact fixup at TILE granularity: tiles containing any spilled pixel
+    are recomputed with the exact per-element gather and overwritten whole
+    (the exact gather agrees with the fast path on in-window pixels, so
+    overwriting is safe). Tile-level compaction keeps the machinery cheap:
+    nonzero runs over n_tiles (~9k) rather than pixels (~9.4M).
+    """
     from .warp import grid_sample_bilinear
 
-    bad = (~ok).reshape(-1)
-    n_bad = jnp.sum(bad)
+    tile_bad = ~jnp.all(ok_t, axis=1)              # [ntiles]
+    n_bad = jnp.sum(tile_bad)
 
-    def fix(_):
-        idx = jnp.nonzero(bad, size=SPILL_CAP, fill_value=H * W)[0]
-        safe = jnp.minimum(idx, H * W - 1)
-        px = sx.reshape(-1)[safe][None, :, None]
-        py = sy.reshape(-1)[safe][None, :, None]
-        vals = grid_sample_bilinear(img[None], px, py)[0, :, 0]
-        flat = out_fast.reshape(H * W, C)
-        flat = flat.at[idx].set(vals, mode="drop")
-        return flat.reshape(H, W, C)
+    def fix(o):
+        idx = jnp.nonzero(tile_bad, size=SPILL_TILES, fill_value=n_tiles)[0]
+        safe = jnp.minimum(idx, n_tiles - 1)
+        px = sx_t[safe]                            # [KT, N] row gather
+        py = sy_t[safe]
+        vals = grid_sample_bilinear(img[None], px[None], py[None])[0]
+        return o.at[idx].set(vals, mode="drop")    # [KT, N, C] row scatter
 
-    def full(_):
-        return grid_sample_bilinear(img[None], sx[None], sy[None])[0]
+    def full(o):
+        H, W = img.shape[0], img.shape[1]
+        exact = grid_sample_bilinear(img[None], sx_t.reshape(1, n_tiles, -1),
+                                     sy_t.reshape(1, n_tiles, -1))[0]
+        return exact
 
     return jax.lax.cond(
         n_bad == 0,
-        lambda _: out_fast,
-        lambda _: jax.lax.cond(n_bad <= SPILL_CAP, fix, full, _),
-        operand=None)
+        lambda o: o,
+        lambda o: jax.lax.cond(n_bad <= SPILL_TILES, fix, full, o),
+        out_t)
 
 
 def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
@@ -282,9 +290,8 @@ def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
         out_t = _gather_fast(
             img_pad.reshape(Hp, Wp * C).astype(jnp.bfloat16), sx_t, sy_t,
             origins, n_tiles, C, winx)
+        out_t = _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C)
         out = _tile_unflatten(out_t, H, W)
-        ok = _tile_unflatten(ok_t[..., None], H, W)[..., 0]
-        out = _slow_gather_fix(img, sx, sy, out, ok, H, W, C)
         if not with_mask:
             return out
         # the ones-mask needs no gather: sampled ones = Σ valid-corner weights
@@ -416,49 +423,62 @@ def _splat_fast(vals_t, tx_t, ty_t, origins, H, W, C, winx):
     return acc[pady:pady + H, padx:padx + W]
 
 
-def _slow_splat_fix(out_fast, inp, tx, ty, ok, H, W, C):
-    """Exact scatter-add of spilled source pixels (4 corners each)."""
-    bad = (~ok).reshape(-1)
-    n_bad = jnp.sum(bad)
+SPLAT_SPILL_TILES = 256    # max exactly-refixed source tiles (splat)
 
-    def corners(px, py):
+
+def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C):
+    """Exact scatter-add for source tiles containing any spilled pixel.
+
+    The fast kernel zeroes ALL sources of such tiles; here the tile's 1024
+    sources are scatter-added exactly (4 corners, OOB dropped). Tile-level
+    compaction avoids a 9.4M-element nonzero; over SPLAT_SPILL_TILES bad
+    tiles falls back to the fully exact XLA splat.
+    """
+    tile_bad = ~jnp.all(ok_t, axis=1)
+    n_bad = jnp.sum(tile_bad)
+    N = ok_t.shape[1]
+
+    def fix(o):
+        idx = jnp.nonzero(tile_bad, size=SPLAT_SPILL_TILES,
+                          fill_value=n_tiles)[0]
+        safe = jnp.minimum(idx, n_tiles - 1)
+        keep = (idx < n_tiles).astype(jnp.float32)
+        px = tx_t[safe].reshape(-1)
+        py = ty_t[safe].reshape(-1)
+        v = (vals_t[safe] * keep[:, None, None]).reshape(-1, C)
         x0 = jnp.floor(px)
         y0 = jnp.floor(py)
         fx = px - x0
         fy = py - y0
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
-        return [
+        flat = o.reshape(H * W, C)
+        for xi, yi, w in (
             (x0i, y0i, (1 - fx) * (1 - fy)),
             (x0i + 1, y0i, fx * (1 - fy)),
             (x0i, y0i + 1, (1 - fx) * fy),
             (x0i + 1, y0i + 1, fx * fy),
-        ]
-
-    def fix(_):
-        idx = jnp.nonzero(bad, size=SPILL_CAP, fill_value=H * W)[0]
-        safe = jnp.minimum(idx, H * W - 1)
-        px = tx.reshape(-1)[safe]
-        py = ty.reshape(-1)[safe]
-        v = inp.reshape(-1, C)[safe] * (idx < H * W)[:, None]
-        flat = out_fast.reshape(H * W, C)
-        for xi, yi, w in corners(px, py):
+        ):
             valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
             tgt = jnp.where(valid, yi * W + xi, H * W)
             flat = flat.at[tgt].add(v * w[:, None], mode="drop")
         return flat.reshape(H, W, C)
 
-    def full(_):
+    def full(o):
         from .splat import splat_sum
-        flow = jnp.stack([tx - jnp.arange(W, dtype=tx.dtype)[None, :],
-                          ty - jnp.arange(H, dtype=ty.dtype)[:, None]], -1)
-        return splat_sum(inp[None], flow[None])[0]
+        xs = jnp.arange(W, dtype=jnp.float32)
+        ys = jnp.arange(H, dtype=jnp.float32)
+        tx = _tile_unflatten(tx_t[..., None], H, W)[..., 0]
+        ty = _tile_unflatten(ty_t[..., None], H, W)[..., 0]
+        vals = _tile_unflatten(vals_t, H, W)
+        flow = jnp.stack([tx - xs[None, :], ty - ys[:, None]], -1)
+        return splat_sum(vals[None], flow[None])[0]
 
     return jax.lax.cond(
         n_bad == 0,
-        lambda _: out_fast,
-        lambda _: jax.lax.cond(n_bad <= SPILL_CAP, fix, full, _),
-        operand=None)
+        lambda o: o,
+        lambda o: jax.lax.cond(n_bad <= SPLAT_SPILL_TILES, fix, full, o),
+        out_fast)
 
 
 def splat_sum_fast(inp: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -491,13 +511,14 @@ def splat_sum_fast(inp: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         vals_t = _tile_flatten(img, H, W)
         oy, ox = _origins(tx_t, ty_t, H, W, winx, qx, pady, padx)
         ok_t = _ok_mask(tx_t, ty_t, oy, ox, winx)
-        # the fast kernel must skip spilled sources entirely (they're added
-        # exactly by the fixup); mask their values to zero
-        vals_masked = vals_t * ok_t[..., None].astype(vals_t.dtype)
+        n_tiles = ok_t.shape[0]
+        # tiles with any spilled source are zeroed wholesale in the fast
+        # kernel and re-added exactly by the tile fixup
+        tile_ok = jnp.all(ok_t, axis=1)
+        vals_masked = vals_t * tile_ok[:, None, None].astype(vals_t.dtype)
         origins = jnp.stack([oy, ox], axis=1).reshape(-1)
         out = _splat_fast(vals_masked, tx_t, ty_t, origins, H, W, C, winx)
-        ok = _tile_unflatten(ok_t[..., None], H, W)[..., 0]
-        return _slow_splat_fix(out, img, tx, ty, ok, H, W, C)
+        return _tile_splat_fix(out, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C)
 
     return jnp.stack([one(inp[b], flow[b]) for b in range(B)], 0).astype(in_dtype)
 
