@@ -93,6 +93,32 @@ def block_pca_features(frames: jnp.ndarray, mean: jnp.ndarray, ev: jnp.ndarray,
     return feat * 2.0 - 1.0
 
 
+def pca_inverse(feats: jnp.ndarray, mean: jnp.ndarray, ev: jnp.ndarray,
+                mean_vec: jnp.ndarray | None = None, wiS: int = 8,
+                minmax: tuple | None = None) -> jnp.ndarray:
+    """Inverse of the block-PCA transform: components → blocks → image
+    (reference pca_inverse, pca_comp.py:309-367; diagnostics path).
+
+    feats: [..., hb, wb, n_comp] (per channel-image); if `minmax` (mi, ma) is
+    given the [-1,1]-normalised features are first unscaled; `mean_vec`
+    un-applies the mean-|component| normalisation. Returns [..., hb*wiS,
+    wb*wiS].
+    """
+    x = feats.astype(jnp.float32)
+    if minmax is not None:
+        mi, ma = minmax
+        x = (x + 1.0) * 0.5 * (ma - mi) + mi
+    if mean_vec is not None:
+        x = x * mean_vec.astype(x.dtype)
+    blocks = jnp.einsum("...n,nk->...k", x, ev.astype(x.dtype),
+                        precision=jax.lax.Precision.HIGHEST)
+    blocks = blocks + mean.astype(x.dtype)
+    *lead, hb, wb, k2 = blocks.shape
+    blocks = blocks.reshape(*lead, hb, wb, wiS, wiS)
+    blocks = jnp.moveaxis(blocks, -2, -3)        # [..., hb, wiS, wb, wiS]
+    return blocks.reshape(*lead, hb * wiS, wb * wiS)
+
+
 def fit_block_pca(images: np.ndarray, n_components: int, wiS: int = 8) -> PCAState:
     """One-time PCA fit (to_pca fit path, pca_comp.py:370-470 + MYPCA.fit).
 

@@ -13,6 +13,8 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
+import jax
+
 from ..config import FLDRConfig
 from ..ops.resize import resize_2d
 from ..ops.splat import softsplat
@@ -84,6 +86,90 @@ def endflow_forward_warp_loss(endflow, im0, im1, t) -> jnp.ndarray:
     warped_fir = softsplat(im0, (1.0 / tb) * flow_0t)
     warped_sec = softsplat(im1, (1.0 / (1.0 - tb)) * flow_1t)
     return jnp.mean(jnp.abs(warped_fir - im1)) + jnp.mean(jnp.abs(warped_sec - im0))
+
+
+def smoothness_loss(flow: jnp.ndarray, img: jnp.ndarray,
+                    weight: float = 150.0, edge_aware: bool = True):
+    """Single-image first-order smoothness (set_smoothness_loss,
+    utils.py:827-845) — the non-papermodel fallback (main.py:605-608)."""
+    w2 = weight ** 2
+
+    def gh(x):
+        return x[:, 1:, :, :] - x[:, :-1, :, :]
+
+    def gw(x):
+        return x[:, :, 1:, :] - x[:, :, :-1, :]
+
+    f_gh = jnp.abs(gh(flow))
+    f_gw = jnp.abs(gw(flow))
+    if not edge_aware:
+        return 0.5 * (jnp.mean(f_gh) + jnp.mean(f_gw))
+    w_gh = jnp.exp(-w2 * jnp.mean(gh(img) ** 2, -1, keepdims=True))
+    w_gw = jnp.exp(-w2 * jnp.mean(gw(img) ** 2, -1, keepdims=True))
+    return 0.5 * (jnp.mean(w_gh * f_gh) + jnp.mean(w_gw * f_gw))
+
+
+def warping_loss(frames: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp photometric loss (set_warping_loss, utils.py:764-824;
+    constructed main.py:323, epoch-annealed main.py:613-616 when
+    --warping_loss). frames [B,2,H,W,3]; flow [B,H,W,4] (01 then 10)."""
+    from ..ops.warp import bwarp
+
+    first = frames[:, 0]
+    second = frames[:, 1]
+    warped_sec = bwarp(second, flow[..., 0:2])
+    warped_fir = bwarp(first, flow[..., 2:4])
+    return (jnp.mean(jnp.abs(warped_sec - first))
+            + jnp.mean(jnp.abs(warped_fir - second)))
+
+
+def warping_loss_endflow(frames: jnp.ndarray, gt: jnp.ndarray, endflow):
+    """Backward endflow photometric loss (set_warping_loss_endflow,
+    utils.py:712-762; gated off in the papermodel)."""
+    from ..ops.warp import bwarp
+
+    flow_t0, flow_t1 = endflow
+    warped_fir = bwarp(frames[:, 0], flow_t0)
+    warped_sec = bwarp(frames[:, 1], flow_t1)
+    return (jnp.mean(jnp.abs(warped_sec - gt))
+            + jnp.mean(jnp.abs(warped_fir - gt)))
+
+
+def orthogonality_loss(ev: jnp.ndarray) -> jnp.ndarray:
+    """0.5·(Σ_{k≠l} EV_k·EV_l)² — the --orthLoss term (main.py:624-651);
+    only added to the total when ≥ 0.1 (caller's rule)."""
+    g = ev @ ev.T
+    off = jnp.sum(g) - jnp.trace(g)
+    return 0.5 * off ** 2
+
+
+def distillation_loss(unref_flow_pyramid, gtflow: jnp.ndarray) -> jnp.ndarray:
+    """PWC-teacher flow distillation with confidence-adaptive robust loss
+    (useful.py:119-144; dormant in the shipped model). Flows NHWC [B,h,w,4]
+    fine→coarse; gtflow [B,H,W,4] at 1/1 of the teacher resolution."""
+    from ..ops.resize import resize_2d
+
+    top = resize_2d(unref_flow_pyramid[0],
+                    (unref_flow_pyramid[0].shape[1] * 8,
+                     unref_flow_pyramid[0].shape[2] * 8), "bilinear")
+    Hh, Ww = top.shape[1], top.shape[2]
+    top_sg = jax.lax.stop_gradient(top)
+    pmap_10 = jnp.exp(-0.3 * jnp.sqrt(
+        jnp.sum((top_sg[..., :2] - gtflow[..., :2]) ** 2, -1, keepdims=True)))
+    pmap_01 = jnp.exp(-0.3 * jnp.sqrt(
+        jnp.sum((top_sg[..., 2:] - gtflow[..., 2:]) ** 2, -1, keepdims=True)))
+    alpha_10, alpha_01 = pmap_10 / 2, pmap_01 / 2
+    eps_10 = 10.0 ** (-(10 * pmap_10 - 1) / 3)
+    eps_01 = 10.0 ** (-(10 * pmap_01 - 1) / 3)
+    loss = 0.0
+    for f in unref_flow_pyramid[1:]:
+        f_up = resize_2d(f, (Hh, Ww), "bilinear")
+        d10 = f_up[..., :2] - gtflow[..., :2]
+        d01 = f_up[..., 2:] - gtflow[..., 2:]
+        # elementwise robust penalty, confidence broadcast over the 2 channels
+        loss = loss + jnp.mean((d10 ** 2 + eps_10 ** 2) ** alpha_10)
+        loss = loss + jnp.mean((d01 ** 2 + eps_01 ** 2) ** alpha_01)
+    return loss
 
 
 def total_loss(cfg: FLDRConfig, fwd_out: dict, target: jnp.ndarray,
