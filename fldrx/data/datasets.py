@@ -34,6 +34,19 @@ def frames_to_tensor(frames: np.ndarray) -> np.ndarray:
     return (frames.astype(np.float32) / 255.0 - 0.5) * 2.0
 
 
+def half_res_bilinear(frames: np.ndarray) -> np.ndarray:
+    """Host-side ×1/2 bilinear downscale with torch interpolate semantics —
+    the --xiph2k/--xtest2k eval modes (utils.py:198-199, 475-476).
+    frames: [T,H,W,C] float."""
+    from ..ops.resize import _resize_matrix_np
+
+    T, H, W, C = frames.shape
+    Wh = _resize_matrix_np(H, H // 2, "bilinear", False).astype(np.float32)
+    Ww = _resize_matrix_np(W, W // 2, "bilinear", False).astype(np.float32)
+    out = np.einsum("oh,thwc->towc", Wh, frames)
+    return np.einsum("pw,towc->topc", Ww, out)
+
+
 # ---------------------------------------------------------------------------
 # test datasets: each item = (frames [3,H,W,C], t, scene_name, frame_paths)
 # ---------------------------------------------------------------------------
@@ -88,12 +101,20 @@ def make_x_test_items(root: str, multiple: int,
 
 
 class XTest(TestDataset):
-    def __init__(self, cfg: FLDRConfig, multiple: int, validation: bool):
+    def __init__(self, cfg: FLDRConfig, multiple: int, validation: bool,
+                 half_res: bool = False):
         root = cfg.x_val_data_path if validation else cfg.x_test_data_path
         self.items = make_x_test_items(root, multiple)
         self.validation = validation
+        self.half_res = half_res          # --xtest2k (utils.py:475-476)
         if not self.items:
             raise RuntimeError(f"Found 0 files in subfolders of: {root}")
+
+    def load(self, idx, patch=-1):
+        frames, t, scene = super().load(idx, patch)
+        if self.half_res:
+            frames = half_res_bilinear(frames)
+        return frames, t, scene
 
 
 XIPH_CLIPS = ["BoxingPractice", "Crosswalk", "DrivingPOV", "FoodMarket",
@@ -104,9 +125,11 @@ class XiphTest(TestDataset):
     """8 Netflix clips × frames 2..98 step 2 → 392 triplets, t=0.5
     (utils.py:157-203)."""
 
-    def __init__(self, cfg: FLDRConfig, crop_2k: bool = False):
+    def __init__(self, cfg: FLDRConfig, crop_2k: bool = False,
+                 half_res: bool = False):
         self.items = []
         self.crop_2k = crop_2k
+        self.half_res = half_res          # --xiph2k (utils.py:198-199)
         for clip in XIPH_CLIPS:
             for f in range(2, 99, 2):
                 p = lambda i: os.path.join(cfg.xiph_data_path,
@@ -121,6 +144,8 @@ class XiphTest(TestDataset):
         frames, t, scene = super().load(idx, patch)
         if self.crop_2k:   # Xiph2KC center crop (utils.py:195-197)
             frames = frames[:, 540:-540, 1024:-1024]
+        if self.half_res:
+            frames = half_res_bilinear(frames)
         return frames, t, scene
 
 
@@ -172,14 +197,16 @@ class VimeoTest(TestDataset):
 
 
 def get_test_dataset(cfg: FLDRConfig, name: str, multiple: int,
-                     validation: bool = False) -> TestDataset:
-    """Dataset-name dispatch (get_test_data, utils.py:132-151)."""
+                     validation: bool = False,
+                     half_res: bool = False) -> TestDataset:
+    """Dataset-name dispatch (get_test_data, utils.py:132-151); `half_res`
+    implements the --xtest2k/--xiph2k modes."""
     if name in ("X4K1000FPS", "X-Test"):
-        return XTest(cfg, multiple, validation)
+        return XTest(cfg, multiple, validation, half_res=half_res)
     if name == "Vimeo":
         return VimeoTest(cfg, validation)
     if name == "Xiph-4K":
-        return XiphTest(cfg)
+        return XiphTest(cfg, half_res=half_res)
     if name == "Xiph2KC":
         return XiphTest(cfg, crop_2k=True)
     if name == "Inter4K-S":

@@ -55,9 +55,10 @@ class EvalResult:
 def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
              multiple: Optional[int] = None, validation: bool = False,
              stop_at: int = -1, save_dir: Optional[str] = None,
-             verbose: bool = True) -> EvalResult:
+             verbose: bool = True, half_res: bool = False) -> EvalResult:
     multiple = multiple or TEST_MULTIPLES.get(dataset_name, cfg.multiple)
-    ds = get_test_dataset(cfg, dataset_name, multiple, validation)
+    ds = get_test_dataset(cfg, dataset_name, multiple, validation,
+                          half_res=half_res)
     patch = (cfg.validation_patch_size if validation and
              dataset_name in ("X4K1000FPS", "X-Test") else cfg.test_patch_size)
 

@@ -43,6 +43,8 @@ def parse_args(argv=None):
     p.add_argument("--test_patch_size", type=int, default=-1)
     p.add_argument("--validation_patch_size", type=int, default=512)
     p.add_argument("--stoptestat", type=int, default=-1)
+    p.add_argument("--xiph2k", action="store_true")
+    p.add_argument("--xtest2k", action="store_true")
     p.add_argument("--save_images", action="store_true")
     p.add_argument("--no_validation", action="store_true")
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoint_dir")
@@ -132,8 +134,10 @@ def main(argv=None):
     print("\n------------------- Final Test starts -------------------")
     for name in cfg.testsets:
         mult = TEST_MULTIPLES.get(name, cfg.multiple)
+        half = (args.xiph2k and name.startswith("Xiph")) or (
+            args.xtest2k and name in ("X4K1000FPS", "X-Test"))
         res = evaluate(interp, cfg, name, multiple=mult,
-                       stop_at=args.stoptestat,
+                       stop_at=args.stoptestat, half_res=half,
                        save_dir=cfg.log_dir if args.save_images else None)
         line = f"Final 4k frames PSNR {name} : {res.psnr:.4}"
         print(line + f"  (SSIM {res.ssim:.4f}, {res.frames_per_sec:.2f} fps)")

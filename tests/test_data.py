@@ -121,3 +121,17 @@ def test_test_multiples_table():
     assert TEST_MULTIPLES["X4K1000FPS"] == 8
     assert TEST_MULTIPLES["Xiph-4K"] == 2
     assert TEST_MULTIPLES["Inter4K-S"] == 8
+
+
+def test_half_res_matches_torch():
+    import torch
+    import torch.nn.functional as F
+    from fldrx.data.datasets import half_res_bilinear
+    rng = np.random.RandomState(9)
+    frames = rng.rand(2, 32, 48, 3).astype(np.float32)
+    got = half_res_bilinear(frames)
+    ref = F.interpolate(torch.from_numpy(np.transpose(frames, (0, 3, 1, 2))),
+                        scale_factor=0.5, mode="bilinear",
+                        align_corners=False).numpy()
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), ref,
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,54 @@
+"""Parallelism tests on the 8-device virtual CPU mesh: spatially-sharded
+eval matches single-device output; dryrun_multichip executes; mesh helpers."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from fldrx.config import papermodel
+from fldrx.model.fldrnet import forward_test, init_params
+from fldrx.parallel.mesh import batch_specs, make_mesh, shard_batch
+from fldrx.parallel.spatial import make_sharded_eval
+from fldrx.eval.pipeline import build_pyramid
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(jax.devices()[:8])
+    assert mesh.shape["dp"] * mesh.shape["sp"] == 8
+    mesh2 = make_mesh(jax.devices()[:4], dp=2)
+    assert mesh2.shape == {"dp": 2, "sp": 2}
+
+
+def test_sharded_eval_matches_unsharded():
+    cfg = papermodel().replace(S_tst=1, fast_warp=False)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, H, W = 2, 64, 128
+    frames = (rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32)
+    t = np.full((B, 1), 0.5, np.float32)
+
+    # unsharded reference
+    fr = jnp.asarray(frames)
+    pyr = build_pyramid(fr, cfg, cfg.S_tst + 1)
+    ref = np.asarray(forward_test(params, cfg, pyr, jnp.asarray(t)))
+
+    mesh = make_mesh(jax.devices()[:4], dp=2, sp=2)
+    call = make_sharded_eval(params, cfg, mesh)
+    with mesh:
+        got = np.asarray(call(frames, t))
+    # the global PCA min/max and conv halos must make sharded == unsharded
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_shard_batch_specs():
+    mesh = make_mesh(jax.devices()[:8], dp=4, sp=2)
+    batch = {
+        "frames": np.zeros((4, 2, 32, 64, 3), np.float32),
+        "target": np.zeros((4, 32, 64, 3), np.float32),
+        "t": np.zeros((4, 1), np.float32),
+    }
+    sharded = shard_batch(mesh, batch)
+    assert sharded["frames"].sharding.spec == batch_specs()["frames"]
+    np.testing.assert_array_equal(np.asarray(sharded["t"]), batch["t"])
