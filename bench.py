@@ -50,10 +50,10 @@ def main():
     t_values = np.linspace(1 / multiple, 1 - 1 / multiple, multiple - 1)
 
     def measure():
-        flow, padded = interp.precompute_flow(frames_j)
+        flow, padded, extras = interp.precompute_flow(frames_j)
         out = None
         for tv in t_values:
-            out = interp.synthesize_at(flow, padded, [[tv]], (H, W))
+            out = interp.synthesize_at(flow, padded, [[tv]], (H, W), extras)
         return float(jnp.sum(out))     # device fence: block_until_ready can
         # return early under relayed backends — force a scalar fetch
 

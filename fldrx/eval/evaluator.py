@@ -68,7 +68,7 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
 
     # multi-t reuse: consecutive items share a frame pair every (multiple-1)
     # targets (make_2D_dataset_X_Test layout); flow is computed once per pair
-    flow_cache = {"key": None, "flow": None, "padded": None}
+    flow_cache = {"key": None, "flow": None, "padded": None, "extras": None}
 
     for idx, (frames, t, scene) in enumerate(test_samples(ds, patch)):
         if frames is None or frames.ndim < 4:
@@ -83,10 +83,12 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         t0 = time.time()
         if pair_key is not None:
             if flow_cache["key"] != pair_key:
-                flow, padded = interp.precompute_flow(inputs)
-                flow_cache.update(key=pair_key, flow=flow, padded=padded)
+                flow, padded, extras = interp.precompute_flow(inputs)
+                flow_cache.update(key=pair_key, flow=flow, padded=padded,
+                                  extras=extras)
             pred = np.asarray(interp.synthesize_at(
-                flow_cache["flow"], flow_cache["padded"], t_arr, (H, W)))[0]
+                flow_cache["flow"], flow_cache["padded"], t_arr, (H, W),
+                flow_cache["extras"]))[0]
         else:
             pred = interp.interpolate_np(inputs, t_arr)[0]
         pred_time.update(time.time() - t0)

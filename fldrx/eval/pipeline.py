@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FLDRConfig
-from ..model.fldrnet import forward_flow, forward_synthesis, forward_test
+from ..model.fldrnet import (flow_extras, forward_flow, forward_synthesis,
+                             forward_test)
 from ..ops.pad import pad_amount
 from ..ops.resize import resize_2d
 
@@ -105,8 +106,9 @@ class Interpolator:
                         frames, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
                         mode="reflect" if cfg.padding == "reflect" else "constant")
                 pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
-                return forward_flow(params, cfg, pyr,
-                                    self._compute_dtype), frames
+                flow = forward_flow(params, cfg, pyr, self._compute_dtype)
+                extras = flow_extras(params, cfg, flow, frames)
+                return flow, frames, extras
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 
@@ -115,28 +117,29 @@ class Interpolator:
         if key not in self._cache:
             cfg = self.cfg
 
-            def fn(params, flow, padded_frames, t):
-                return forward_synthesis(params, cfg, flow, padded_frames, t)
+            def fn(params, flow, padded_frames, t, extras):
+                return forward_synthesis(params, cfg, flow, padded_frames, t,
+                                         precomputed=extras)
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 
     def precompute_flow(self, frames):
-        """frames [B,2,H,W,3] in [-1,1] → (flow, padded_frames)."""
+        """frames [B,2,H,W,3] in [-1,1] → (flow, padded_frames, extras)."""
         frames = jnp.asarray(frames, jnp.float32)
         return self._compiled_flow(frames.shape)(self.params, frames)
 
-    def synthesize_at(self, flow, padded_frames, t, orig_hw):
+    def synthesize_at(self, flow, padded_frames, t, orig_hw, extras=None):
         t = jnp.asarray(t, jnp.float32).reshape(flow.shape[0], 1)
         out = self._compiled_synth(padded_frames.shape)(
-            self.params, flow, padded_frames, t)
+            self.params, flow, padded_frames, t, extras)
         return out[:, :orig_hw[0], :orig_hw[1]]
 
     def interpolate_multi_np(self, frames: np.ndarray, t_values) -> np.ndarray:
         """×N mode: one flow computation, one synthesis per t.
         Returns [len(t_values), B, H, W, 3]."""
         H, W = frames.shape[2], frames.shape[3]
-        flow, padded = self.precompute_flow(frames)
-        outs = [np.asarray(self.synthesize_at(flow, padded[:, :, :, :],
-                                              tv, (H, W)))
+        flow, padded, extras = self.precompute_flow(frames)
+        outs = [np.asarray(self.synthesize_at(flow, padded, tv, (H, W),
+                                              extras))
                 for tv in t_values]
         return np.stack(outs, 0)

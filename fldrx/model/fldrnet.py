@@ -150,9 +150,21 @@ def level_flow(p: Params, feat: jnp.ndarray,
 # synthesis (fLDRnet.py:400-543)
 # ---------------------------------------------------------------------------
 
+def z_metrics(p: Params, x0, x1, flow_10, flow_01, fast: bool = False):
+    """Softsplat importance metrics z0/z1 (fLDRnet.py:439-446) — t-independent,
+    so the multi-t path hoists them out of the per-t synthesis."""
+    bw, _ = _warp_fns(fast)
+    z_alpha = p["z_alpha"].astype(x0.dtype)
+    im_1_0 = bw(x1, flow_01)
+    z0 = jnp.mean(z_alpha[0] * jnp.abs(x0 - im_1_0), axis=-1, keepdims=True)
+    im_0_1 = bw(x0, flow_10)
+    z1 = jnp.mean(z_alpha[1] * jnp.abs(x1 - im_0_1), axis=-1, keepdims=True)
+    return z0, z1
+
+
 def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
                t: jnp.ndarray, crop_hw: Optional[Tuple[int, int]] = None,
-               fast: bool = False):
+               fast: bool = False, precomputed=None):
     """Warp + blend at one level.
 
     flow_l: [B, h, w, 4] on the feature grid; images: [B, 2, H, W, 3] with
@@ -173,7 +185,11 @@ def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     def up(f):
         return upscale * resize_2d(f, (H, W), "bilinear")
 
-    flow_t0, flow_t1, flow_10, flow_01 = up(flow_t0), up(flow_t1), up(flow_10), up(flow_01)
+    flow_t0, flow_t1 = up(flow_t0), up(flow_t1)
+    if precomputed is not None:
+        flow_10, flow_01, z0, z1 = precomputed
+    else:
+        flow_10, flow_01 = up(flow_10), up(flow_01)
 
     x0 = images[:, 0]
     x1 = images[:, 1]
@@ -184,12 +200,8 @@ def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
         x0, x1 = x0[:, :ch, :cw], x1[:, :ch, :cw]
 
     bw, ssplat = _warp_fns(fast)
-    z_alpha = p["z_alpha"].astype(flow_t0.dtype)
-    # importance metric z = mean_c(z_alpha * |I - bwarp(I_other)|) (:439-446)
-    im_1_0 = bw(x1, flow_01)
-    z0 = jnp.mean(z_alpha[0] * jnp.abs(x0 - im_1_0), axis=-1, keepdims=True)
-    im_0_1 = bw(x0, flow_10)
-    z1 = jnp.mean(z_alpha[1] * jnp.abs(x1 - im_0_1), axis=-1, keepdims=True)
+    if precomputed is None:
+        z0, z1 = z_metrics(p, x0, x1, flow_10, flow_01, fast)
 
     warped0 = ssplat(x0, flow_t0, z=z0)
     warped1 = ssplat(x1, flow_t1, z=z1)
@@ -266,14 +278,33 @@ def forward_flow(params: Params, cfg: FLDRConfig,
     return flow
 
 
+def flow_extras(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
+                images: jnp.ndarray):
+    """The remaining t-independent synthesis work: full-res flow upscales and
+    the z importance metrics. Hoisted out of the per-t loop in multi-t mode."""
+    fast = getattr(cfg, "fast_warp", False)
+    flow = flow.astype(jnp.float32)
+    images = images.astype(jnp.float32)
+    H, W = images.shape[2], images.shape[3]
+    upscale = H // flow.shape[1]
+    flow_10 = upscale * resize_2d(flow[..., 0:2], (H, W), "bilinear")
+    flow_01 = upscale * resize_2d(flow[..., 2:4], (H, W), "bilinear")
+    z0, z1 = z_metrics(params["vfinet"], images[:, 0], images[:, 1],
+                       flow_10, flow_01, fast)
+    return (flow_10, flow_01, z0, z1)
+
+
 def forward_synthesis(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
                       images: jnp.ndarray, t: jnp.ndarray,
-                      orig_hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
-    """Level-0 synthesis for one t given precomputed flow."""
+                      orig_hw: Optional[Tuple[int, int]] = None,
+                      precomputed=None) -> jnp.ndarray:
+    """Level-0 synthesis for one t given precomputed flow (and optionally the
+    t-independent extras from `flow_extras`)."""
     fast = getattr(cfg, "fast_warp", False)
     with jax.named_scope("synthesis"):
         out, _, _, _ = synthesize(params["vfinet"], flow.astype(jnp.float32),
-                                  images.astype(jnp.float32), t, fast=fast)
+                                  images.astype(jnp.float32), t, fast=fast,
+                                  precomputed=precomputed)
     if orig_hw is not None:
         out = out[:, :orig_hw[0], :orig_hw[1]]
     return out

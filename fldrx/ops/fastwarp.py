@@ -222,39 +222,44 @@ def _sample_coords(flow: jnp.ndarray, H: int, W: int):
     return sx, sy
 
 
-SPILL_TILES = 512          # max exactly-refixed tiles before full fallback
+GATHER_SPILL_TIERS = (32, 512)   # exact-refix capacities (tiles), then full
 
 
 def _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C):
     """Exact fixup at TILE granularity: tiles containing any spilled pixel
     are recomputed with the exact per-element gather and overwritten whole
     (the exact gather agrees with the fast path on in-window pixels, so
-    overwriting is safe). Tile-level compaction keeps the machinery cheap:
-    nonzero runs over n_tiles (~9k) rather than pixels (~9.4M).
+    overwriting is safe). Tile-level compaction keeps the machinery cheap
+    (nonzero over ~9k tiles, not ~9.4M pixels), and tiered capacities keep
+    the STATIC cost proportional to the actual spill count — a handful of
+    bad tiles pays the 32-tile tier, not the 512-tile one.
     """
     from .warp import grid_sample_bilinear
 
     tile_bad = ~jnp.all(ok_t, axis=1)              # [ntiles]
     n_bad = jnp.sum(tile_bad)
 
-    def fix(o):
-        idx = jnp.nonzero(tile_bad, size=SPILL_TILES, fill_value=n_tiles)[0]
-        safe = jnp.minimum(idx, n_tiles - 1)
-        px = sx_t[safe]                            # [KT, N] row gather
-        py = sy_t[safe]
-        vals = grid_sample_bilinear(img[None], px[None], py[None])[0]
-        return o.at[idx].set(vals, mode="drop")    # [KT, N, C] row scatter
+    def fix_with_cap(cap):
+        def fix(o):
+            idx = jnp.nonzero(tile_bad, size=cap, fill_value=n_tiles)[0]
+            safe = jnp.minimum(idx, n_tiles - 1)
+            px = sx_t[safe]                        # [cap, N] row gather
+            py = sy_t[safe]
+            vals = grid_sample_bilinear(img[None], px[None], py[None])[0]
+            return o.at[idx].set(vals, mode="drop")
+        return fix
 
     def full(o):
-        H, W = img.shape[0], img.shape[1]
-        exact = grid_sample_bilinear(img[None], sx_t.reshape(1, n_tiles, -1),
-                                     sy_t.reshape(1, n_tiles, -1))[0]
-        return exact
+        return grid_sample_bilinear(img[None], sx_t.reshape(1, n_tiles, -1),
+                                    sy_t.reshape(1, n_tiles, -1))[0]
 
+    t1, t2 = GATHER_SPILL_TIERS
     return jax.lax.cond(
-        n_bad == 0,
-        lambda o: o,
-        lambda o: jax.lax.cond(n_bad <= SPILL_TILES, fix, full, o),
+        n_bad == 0, lambda o: o,
+        lambda o: jax.lax.cond(
+            n_bad <= t1, fix_with_cap(t1),
+            lambda oo: jax.lax.cond(n_bad <= t2, fix_with_cap(t2), full, oo),
+            o),
         out_t)
 
 
@@ -423,7 +428,7 @@ def _splat_fast(vals_t, tx_t, ty_t, origins, H, W, C, winx):
     return acc[pady:pady + H, padx:padx + W]
 
 
-SPLAT_SPILL_TILES = 256    # max exactly-refixed source tiles (splat)
+SPLAT_SPILL_TIERS = (32, 256)   # exact-refix capacities (source tiles)
 
 
 def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C):
@@ -436,33 +441,33 @@ def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C):
     """
     tile_bad = ~jnp.all(ok_t, axis=1)
     n_bad = jnp.sum(tile_bad)
-    N = ok_t.shape[1]
 
-    def fix(o):
-        idx = jnp.nonzero(tile_bad, size=SPLAT_SPILL_TILES,
-                          fill_value=n_tiles)[0]
-        safe = jnp.minimum(idx, n_tiles - 1)
-        keep = (idx < n_tiles).astype(jnp.float32)
-        px = tx_t[safe].reshape(-1)
-        py = ty_t[safe].reshape(-1)
-        v = (vals_t[safe] * keep[:, None, None]).reshape(-1, C)
-        x0 = jnp.floor(px)
-        y0 = jnp.floor(py)
-        fx = px - x0
-        fy = py - y0
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        flat = o.reshape(H * W, C)
-        for xi, yi, w in (
-            (x0i, y0i, (1 - fx) * (1 - fy)),
-            (x0i + 1, y0i, fx * (1 - fy)),
-            (x0i, y0i + 1, (1 - fx) * fy),
-            (x0i + 1, y0i + 1, fx * fy),
-        ):
-            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-            tgt = jnp.where(valid, yi * W + xi, H * W)
-            flat = flat.at[tgt].add(v * w[:, None], mode="drop")
-        return flat.reshape(H, W, C)
+    def fix_with_cap(cap):
+        def fix(o):
+            idx = jnp.nonzero(tile_bad, size=cap, fill_value=n_tiles)[0]
+            safe = jnp.minimum(idx, n_tiles - 1)
+            keep = (idx < n_tiles).astype(jnp.float32)
+            px = tx_t[safe].reshape(-1)
+            py = ty_t[safe].reshape(-1)
+            v = (vals_t[safe] * keep[:, None, None]).reshape(-1, C)
+            x0 = jnp.floor(px)
+            y0 = jnp.floor(py)
+            fx = px - x0
+            fy = py - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+            flat = o.reshape(H * W, C)
+            for xi, yi, w in (
+                (x0i, y0i, (1 - fx) * (1 - fy)),
+                (x0i + 1, y0i, fx * (1 - fy)),
+                (x0i, y0i + 1, (1 - fx) * fy),
+                (x0i + 1, y0i + 1, fx * fy),
+            ):
+                valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+                tgt = jnp.where(valid, yi * W + xi, H * W)
+                flat = flat.at[tgt].add(v * w[:, None], mode="drop")
+            return flat.reshape(H, W, C)
+        return fix
 
     def full(o):
         from .splat import splat_sum
@@ -474,10 +479,13 @@ def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C):
         flow = jnp.stack([tx - xs[None, :], ty - ys[:, None]], -1)
         return splat_sum(vals[None], flow[None])[0]
 
+    t1, t2 = SPLAT_SPILL_TIERS
     return jax.lax.cond(
-        n_bad == 0,
-        lambda o: o,
-        lambda o: jax.lax.cond(n_bad <= SPLAT_SPILL_TILES, fix, full, o),
+        n_bad == 0, lambda o: o,
+        lambda o: jax.lax.cond(
+            n_bad <= t1, fix_with_cap(t1),
+            lambda oo: jax.lax.cond(n_bad <= t2, fix_with_cap(t2), full, oo),
+            o),
         out_fast)
 
 

@@ -74,3 +74,48 @@ class SaveManager:
     def exists(self, take_best: bool = False) -> bool:
         tag = "best_PSNR" if take_best else "latest"
         return os.path.exists(self._path(tag))
+
+
+class OrbaxSaveManager(SaveManager):
+    """Async Orbax-backed checkpointing (SURVEY.md §5.4 rebuild note): saves
+    overlap with the next training step; same latest/best/epoch layout. Falls
+    back to the synchronous .npz SaveManager interface for text logs."""
+
+    def __init__(self, cfg: FLDRConfig):
+        super().__init__(cfg)
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def _opath(self, tag: str) -> str:
+        return os.path.abspath(os.path.join(self.ckpt_dir,
+                                            f"{self.model_dir}_{tag}.orbax"))
+
+    def save(self, params, meta: Dict[str, Any], opt_state=None,
+             best: bool = False, epoch: Optional[int] = None):
+        state = {"params": jax.tree.map(np.asarray, params),
+                 "meta": {k: np.asarray(v) for k, v in meta.items()}}
+        self._ckptr.save(self._opath("latest"), state, force=True)
+        if best:
+            self._ckptr.wait_until_finished()
+            self._ckptr.save(self._opath("best_PSNR"), state, force=True)
+        if epoch is not None and (epoch + 1) % 10 == 0:
+            self._ckptr.wait_until_finished()
+            self._ckptr.save(self._opath(f"epc{epoch}"), state, force=True)
+
+    def load(self, take_best: bool = False, specific_epoch: int = -1):
+        self._ckptr.wait_until_finished()
+        if specific_epoch >= 0:
+            tag = f"epc{specific_epoch}"
+        else:
+            tag = "best_PSNR" if take_best else "latest"
+        restored = self._ckptr.restore(self._opath(tag))
+        return restored["params"], restored["meta"]
+
+    def exists(self, take_best: bool = False) -> bool:
+        tag = "best_PSNR" if take_best else "latest"
+        return os.path.exists(self._opath(tag))
+
+    def close(self):
+        self._ckptr.wait_until_finished()

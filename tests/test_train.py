@@ -133,3 +133,41 @@ def test_lr_groups_scale_ev_updates():
     # Adam first step is ±lr per coordinate: ev group ≈ 0.1×base
     assert d_ev < d_base * 0.5
     assert d_ev > 0
+
+
+def test_save_manager_roundtrip(tmp_path):
+    from fldrx.train.checkpoint import SaveManager
+    cfg = papermodel().replace(checkpoint_dir=str(tmp_path / "ck"),
+                               text_dir=str(tmp_path / "tx"))
+    sm = SaveManager(cfg)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    sm.save(params, {"last_epoch": 3, "best_PSNR": 25.5}, best=True, epoch=9)
+    assert sm.exists() and sm.exists(take_best=True)
+    loaded, meta = sm.load(take_best=True)
+    assert int(meta["last_epoch"]) == 3
+    np.testing.assert_array_equal(
+        np.asarray(loaded["vfinet"]["conv_flow1"]["w"]),
+        np.asarray(params["vfinet"]["conv_flow1"]["w"]))
+    loaded_epc, _ = sm.load(specific_epoch=9)
+    assert "vfinet" in loaded_epc
+    sm.write_info("hello")
+    assert "hello" in open(sm.text_path).read()
+
+
+def test_orbax_save_manager_roundtrip(tmp_path):
+    try:
+        from fldrx.train.checkpoint import OrbaxSaveManager
+    except ImportError:
+        import pytest
+        pytest.skip("orbax unavailable")
+    cfg = papermodel().replace(checkpoint_dir=str(tmp_path / "ck"),
+                               text_dir=str(tmp_path / "tx"))
+    sm = OrbaxSaveManager(cfg)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    sm.save(params, {"last_epoch": 7, "best_PSNR": 20.0}, best=True)
+    sm.close()
+    assert sm.exists(take_best=True)
+    loaded, meta = sm.load(take_best=True)
+    assert int(meta["last_epoch"]) == 7
+    np.testing.assert_allclose(
+        np.asarray(loaded["pca"]["ev"]), np.asarray(params["pca"]["ev"]))
