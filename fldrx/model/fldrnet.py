@@ -109,11 +109,12 @@ def refine_unet(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _warp_fns(fast: bool):
-    """(bwarp, softsplat) implementation pair: exact XLA (autodiff path) or
-    the Pallas warp engine (inference hot path, ops/fastwarp.py)."""
+    """(bwarp, softsplat) implementation pair: exact XLA or the Pallas warp
+    engine (ops/fastwarp.py). The fast pair carries custom VJPs mirroring
+    the reference CUDA backward kernels, so it serves training too."""
     if fast:
-        from ..ops.fastwarp import bwarp_fast, softsplat_fast
-        return bwarp_fast, softsplat_fast
+        from ..ops.fastwarp import bwarp_diff, softsplat_diff
+        return bwarp_diff, softsplat_diff
     return bwarp, softsplat
 
 
@@ -335,6 +336,7 @@ def forward_train(params: Params, cfg: FLDRConfig,
     6-tuple return.
     """
     S = cfg.S_trn
+    fast = getattr(cfg, "fast_warp", False)
     feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
     vp = params["vfinet"]
 
@@ -345,10 +347,10 @@ def forward_train(params: Params, cfg: FLDRConfig,
     outs, flow_refines, unrefined, endflows = [], [], [], []
     flow = None
     for level in range(S, -1, -1):
-        flow = level_flow(vp, feats[level], flow)
+        flow = level_flow(vp, feats[level], flow, fast=fast)
         out, fr, occ0, endflow = synthesize(
             vp, flow.astype(jnp.float32), pyramid[level].astype(jnp.float32),
-            t, crop_hw=crop)
+            t, crop_hw=crop, fast=fast)
         outs.append(out)
         flow_refines.append(fr)
         unrefined.append(flow)

@@ -30,8 +30,10 @@ The splat kernel accumulates output windows in HBM via read-modify-write DMA
 under a sequential ("arbitrary") grid — the deterministic TPU replacement for
 the reference's CUDA atomicAdd (softSplat.py:40-49).
 
-These kernels are the inference path; training uses the autodiff-friendly XLA
-versions in ops/splat.py / ops/warp.py.
+The `*_diff` wrappers attach custom VJPs mirroring the reference's CUDA
+backward kernels (gradient-as-gather / gradient-as-splat built from the same
+fast cores), so training runs on this engine too; the exact XLA versions in
+ops/splat.py / ops/warp.py remain the strict-parity and CPU fallback.
 """
 
 from __future__ import annotations
@@ -263,6 +265,33 @@ def _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C):
         out_t)
 
 
+def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear gather of [H,W,C] `img` at absolute pixel coords sx/sy [H,W]
+    (zeros padding) — the tiled fast core shared by bwarp_fast and the
+    splat backward pass. Falls back to the exact XLA gather off-TPU or on
+    non-TILE-divisible shapes."""
+    H, W, C = img.shape
+    if (H % TILE or W % TILE or H < TILE or W < TILE
+            or (jax.default_backend() != "tpu" and not _INTERPRET)):
+        from .warp import grid_sample_bilinear
+        return grid_sample_bilinear(img[None], sx[None], sy[None])[0]
+    winx, qx = _win_x(C)
+    pady, padx = WINY, winx
+    sx_t = _tile_flatten(sx, H, W)
+    sy_t = _tile_flatten(sy, H, W)
+    oy, ox = _origins(sx_t, sy_t, H, W, winx, qx, pady, padx)
+    ok_t = _ok_mask(sx_t, sy_t, oy, ox, winx)
+    img_pad = jnp.pad(img, ((pady, pady), (padx, padx), (0, 0)))
+    Hp, Wp = img_pad.shape[0], img_pad.shape[1]
+    origins = jnp.stack([oy, ox], axis=1).reshape(-1)
+    n_tiles = (H // TILE) * (W // TILE)
+    out_t = _gather_fast(
+        img_pad.reshape(Hp, Wp * C).astype(jnp.bfloat16), sx_t, sy_t,
+        origins, n_tiles, C, winx)
+    out_t = _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C)
+    return _tile_unflatten(out_t, H, W)
+
+
 def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
                with_mask: bool = True) -> jnp.ndarray:
     """Drop-in fast replacement for ops.warp.bwarp (inference path).
@@ -279,24 +308,10 @@ def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
     in_dtype = x.dtype
     x = x.astype(jnp.float32)
     flow = flow.astype(jnp.float32)
-    winx, qx = _win_x(C)
-    pady, padx = WINY, winx
 
     def one(img, fl):
         sx, sy = _sample_coords(fl, H, W)
-        sx_t = _tile_flatten(sx, H, W)
-        sy_t = _tile_flatten(sy, H, W)
-        oy, ox = _origins(sx_t, sy_t, H, W, winx, qx, pady, padx)
-        ok_t = _ok_mask(sx_t, sy_t, oy, ox, winx)
-        img_pad = jnp.pad(img, ((pady, pady), (padx, padx), (0, 0)))
-        Hp, Wp = img_pad.shape[0], img_pad.shape[1]
-        origins = jnp.stack([oy, ox], axis=1).reshape(-1)
-        n_tiles = (H // TILE) * (W // TILE)
-        out_t = _gather_fast(
-            img_pad.reshape(Hp, Wp * C).astype(jnp.bfloat16), sx_t, sy_t,
-            origins, n_tiles, C, winx)
-        out_t = _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C)
-        out = _tile_unflatten(out_t, H, W)
+        out = gather_at(img, sx, sy)
         if not with_mask:
             return out
         # the ones-mask needs no gather: sampled ones = Σ valid-corner weights
@@ -506,29 +521,45 @@ def splat_sum_fast(inp: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     in_dtype = inp.dtype
     inp = inp.astype(jnp.float32)
     flow = flow.astype(jnp.float32)
-    winx, qx = _win_x(C)
-    pady, padx = WINY, winx
 
     def one(img, fl):
         xs = jnp.arange(W, dtype=fl.dtype)
         ys = jnp.arange(H, dtype=fl.dtype)
         tx = xs[None, :] + fl[..., 0]
         ty = ys[:, None] + fl[..., 1]
-        tx_t = _tile_flatten(tx, H, W)
-        ty_t = _tile_flatten(ty, H, W)
-        vals_t = _tile_flatten(img, H, W)
-        oy, ox = _origins(tx_t, ty_t, H, W, winx, qx, pady, padx)
-        ok_t = _ok_mask(tx_t, ty_t, oy, ox, winx)
-        n_tiles = ok_t.shape[0]
-        # tiles with any spilled source are zeroed wholesale in the fast
-        # kernel and re-added exactly by the tile fixup
-        tile_ok = jnp.all(ok_t, axis=1)
-        vals_masked = vals_t * tile_ok[:, None, None].astype(vals_t.dtype)
-        origins = jnp.stack([oy, ox], axis=1).reshape(-1)
-        out = _splat_fast(vals_masked, tx_t, ty_t, origins, H, W, C, winx)
-        return _tile_splat_fix(out, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C)
+        return splat_at(img, tx, ty)
 
     return jnp.stack([one(inp[b], flow[b]) for b in range(B)], 0).astype(in_dtype)
+
+
+def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear scatter-add of [H,W,C] `vals` to absolute target coords tx/ty
+    [H,W] (out-of-frame corners dropped) — the tiled fast core shared by
+    splat_sum_fast and the gather backward pass. Falls back to the exact
+    XLA scatter off-TPU or on non-TILE-divisible shapes."""
+    H, W, C = vals.shape
+    if (H % TILE or W % TILE or H < TILE or W < TILE
+            or (jax.default_backend() != "tpu" and not _INTERPRET)):
+        from .splat import splat_sum
+        xs = jnp.arange(W, dtype=tx.dtype)
+        ys = jnp.arange(H, dtype=ty.dtype)
+        flow = jnp.stack([tx - xs[None, :], ty - ys[:, None]], -1)
+        return splat_sum(vals[None], flow[None])[0]
+    winx, qx = _win_x(C)
+    pady, padx = WINY, winx
+    tx_t = _tile_flatten(tx, H, W)
+    ty_t = _tile_flatten(ty, H, W)
+    vals_t = _tile_flatten(vals, H, W)
+    oy, ox = _origins(tx_t, ty_t, H, W, winx, qx, pady, padx)
+    ok_t = _ok_mask(tx_t, ty_t, oy, ox, winx)
+    n_tiles = ok_t.shape[0]
+    # tiles with any spilled source are zeroed wholesale in the fast kernel
+    # and re-added exactly by the tile fixup
+    tile_ok = jnp.all(ok_t, axis=1)
+    vals_masked = vals_t * tile_ok[:, None, None].astype(vals_t.dtype)
+    origins = jnp.stack([oy, ox], axis=1).reshape(-1)
+    out = _splat_fast(vals_masked, tx_t, ty_t, origins, H, W, C, winx)
+    return _tile_splat_fix(out, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C)
 
 
 def softsplat_fast(img: jnp.ndarray, flow: jnp.ndarray,
@@ -536,3 +567,124 @@ def softsplat_fast(img: jnp.ndarray, flow: jnp.ndarray,
     """Softmax-splatting wrapper on the fast kernel (ops/splat.py algebra)."""
     from .splat import softsplat
     return softsplat(img, flow, z, splat_fn=splat_sum_fast)
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrappers (training path)
+#
+# The custom VJPs mirror the reference's CUDA backward kernels exactly
+# (softSplat.py:54-158):
+#   splat:  d/dinput = bilinear GATHER of the cotangent at the target coords
+#           (updateGradInput); d/dflow = Σ_c input_c · dW/dflow · g[corner]
+#           (updateGradFlow) — expressed as finite one-hot gathers: the
+#           x-derivative of a bilinear sample equals the difference of two
+#           y-bilinear samples at integer x taps (frac 0 makes the one-hot).
+#   gather: transpose of the above — d/dimg = coordinate SPLAT of the
+#           cotangent, d/dflow = image-derivative samples × cotangent,
+#           scaled by the S/(S-1) coordinate composition.
+# ---------------------------------------------------------------------------
+
+def _per_image(fn, *args):
+    return jnp.stack([fn(*[a[b] for a in args]) for b in range(args[0].shape[0])], 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def splat_sum_diff(inp: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    return splat_sum_fast(inp, flow)
+
+
+def _splat_diff_fwd(inp, flow):
+    return splat_sum_fast(inp, flow), (inp, flow)
+
+
+def _splat_diff_bwd(res, g):
+    inp, flow = res
+    B, H, W, C = inp.shape
+    g = g.astype(jnp.float32)
+    inp32 = inp.astype(jnp.float32)
+    fl = flow.astype(jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+
+    def one(img_b, fl_b, g_b):
+        tx = xs[None, :] + fl_b[..., 0]
+        ty = ys[:, None] + fl_b[..., 1]
+        dinp = gather_at(g_b, tx, ty)                       # updateGradInput
+        x0 = jnp.floor(tx)
+        y0 = jnp.floor(ty)
+        gx = gather_at(g_b, x0 + 1.0, ty) - gather_at(g_b, x0, ty)
+        gy = gather_at(g_b, tx, y0 + 1.0) - gather_at(g_b, tx, y0)
+        dfx = jnp.sum(img_b * gx, axis=-1)                  # updateGradFlow
+        dfy = jnp.sum(img_b * gy, axis=-1)
+        return dinp, jnp.stack([dfx, dfy], -1)
+
+    outs = [one(inp32[b], fl[b], g[b]) for b in range(B)]
+    dinp = jnp.stack([o[0] for o in outs], 0).astype(inp.dtype)
+    dflow = jnp.stack([o[1] for o in outs], 0).astype(flow.dtype)
+    return dinp, dflow
+
+
+splat_sum_diff.defvjp(_splat_diff_fwd, _splat_diff_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bwarp_diff(x: jnp.ndarray, flow: jnp.ndarray,
+               with_mask: bool = True) -> jnp.ndarray:
+    return bwarp_fast(x, flow, with_mask)
+
+
+def _bwarp_diff_fwd(x, flow, with_mask):
+    return bwarp_fast(x, flow, with_mask), (x, flow)
+
+
+def _bwarp_diff_bwd(with_mask, res, g):
+    x, flow = res
+    B, H, W, C = x.shape
+    g = g.astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    fl = flow.astype(jnp.float32)
+    cx = W / max(W - 1, 1)        # d(sample coord)/d(flow) — the S/(S-1)
+    cy = H / max(H - 1, 1)        # composition in _sample_coords
+
+    def one(img_b, fl_b, g_b):
+        sx, sy = _sample_coords(fl_b, H, W)
+        if with_mask:
+            x0i = jnp.floor(sx).astype(jnp.int32)
+            y0i = jnp.floor(sy).astype(jnp.int32)
+            fx = sx - jnp.floor(sx)
+            fy = sy - jnp.floor(sy)
+
+            def valid(xi, yi):
+                return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(
+                    jnp.float32)
+
+            ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
+                    + valid(x0i + 1, y0i) * fx * (1 - fy)
+                    + valid(x0i, y0i + 1) * (1 - fx) * fy
+                    + valid(x0i + 1, y0i + 1) * fx * fy)
+            g_b = g_b * (ones >= 0.999).astype(jnp.float32)[..., None]
+        dx = splat_at(g_b, sx, sy)                           # gather transpose
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        gx = gather_at(img_b, x0 + 1.0, sy) - gather_at(img_b, x0, sy)
+        gy = gather_at(img_b, sx, y0 + 1.0) - gather_at(img_b, sx, y0)
+        dfx = jnp.sum(g_b * gx, axis=-1) * cx
+        dfy = jnp.sum(g_b * gy, axis=-1) * cy
+        return dx, jnp.stack([dfx, dfy], -1)
+
+    outs = [one(x32[b], fl[b], g[b]) for b in range(B)]
+    dx = jnp.stack([o[0] for o in outs], 0).astype(x.dtype)
+    dflow = jnp.stack([o[1] for o in outs], 0).astype(flow.dtype)
+    return dx, dflow
+
+
+bwarp_diff.defvjp(_bwarp_diff_fwd, _bwarp_diff_bwd)
+
+
+def softsplat_diff(img: jnp.ndarray, flow: jnp.ndarray,
+                   z: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Differentiable softmax splatting on the fast kernel: the wrapper
+    algebra (shift/exp/normalise) is plain jnp; only the raw scatter uses
+    the custom VJP."""
+    from .splat import softsplat
+    return softsplat(img, flow, z, splat_fn=splat_sum_diff)

@@ -76,3 +76,48 @@ def test_fallback_on_odd_shapes():
     fl = jnp.asarray(rng.randn(1, 30, 50, 2).astype(np.float32))
     np.testing.assert_allclose(fastwarp.bwarp_fast(x, fl), bwarp(x, fl),
                                atol=1e-6)
+
+
+def test_splat_diff_gradients_match_xla():
+    """custom VJP vs autodiff through the exact XLA scatter."""
+    from fldrx.ops.splat import splat_sum
+    rng = np.random.RandomState(10)
+    B, H, W, C = 1, 64, 64, 3
+    inp = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    flow = jnp.asarray((rng.rand(B, H, W, 2) * 6 + 0.2).astype(np.float32))
+    cot = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+
+    def loss_fast(i, f):
+        return jnp.vdot(fastwarp.splat_sum_diff(i, f), cot)
+
+    def loss_ref(i, f):
+        return jnp.vdot(splat_sum(i, f), cot)
+
+    gi_f, gf_f = jax.grad(loss_fast, (0, 1))(inp, flow)
+    gi_r, gf_r = jax.grad(loss_ref, (0, 1))(inp, flow)
+    np.testing.assert_allclose(np.asarray(gi_f), np.asarray(gi_r), atol=TOL)
+    np.testing.assert_allclose(np.asarray(gf_f), np.asarray(gf_r),
+                               atol=TOL * 10)
+
+
+def test_bwarp_diff_gradients_match_xla():
+    from fldrx.ops.warp import bwarp
+    rng = np.random.RandomState(11)
+    B, H, W, C = 1, 64, 64, 3
+    x = jnp.asarray(rng.rand(B, H, W, C).astype(np.float32))
+    flow = jnp.asarray((rng.rand(B, H, W, 2) * 6 + 0.2).astype(np.float32))
+    cot = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+
+    for wm in (True, False):
+        def loss_fast(i, f):
+            return jnp.vdot(fastwarp.bwarp_diff(i, f, wm), cot)
+
+        def loss_ref(i, f):
+            return jnp.vdot(bwarp(i, f, wm), cot)
+
+        gi_f, gf_f = jax.grad(loss_fast, (0, 1))(x, flow)
+        gi_r, gf_r = jax.grad(loss_ref, (0, 1))(x, flow)
+        np.testing.assert_allclose(np.asarray(gi_f), np.asarray(gi_r),
+                                   atol=TOL)
+        np.testing.assert_allclose(np.asarray(gf_f), np.asarray(gf_r),
+                                   atol=TOL * 10)
