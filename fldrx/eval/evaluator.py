@@ -25,8 +25,9 @@ from .pipeline import Interpolator
 class Meter:
     """AverageClass equivalent (utils.py:587-611)."""
 
-    def __init__(self, name=""):
+    def __init__(self, name="", fmt=":f"):
         self.name = name
+        self.fmt = fmt
         self.sum = 0.0
         self.count = 0.0
         self.val = 0.0
@@ -39,6 +40,26 @@ class Meter:
     @property
     def avg(self):
         return self.sum / self.count if self.count else 0.0
+
+    def __str__(self):
+        fmtstr = "{name} {val" + self.fmt + "} (avg:{avg" + self.fmt + "})"
+        return fmtstr.format(name=self.name, val=self.val, avg=self.avg)
+
+
+class ProgressMeter:
+    """Console progress printer (utils.py:614-632)."""
+
+    def __init__(self, num_batches, *meters, prefix=""):
+        num_digits = len(str(num_batches))
+        fmt = "{:" + str(num_digits) + "d}"
+        self._batch_fmt = "[" + fmt + "/" + fmt.format(num_batches) + "]"
+        self.meters = meters
+        self.prefix = prefix
+
+    def print(self, batch):
+        entries = [self.prefix + self._batch_fmt.format(batch)]
+        entries += [str(m) for m in self.meters]
+        print("\t".join(entries))
 
 
 @dataclass
