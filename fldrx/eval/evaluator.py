@@ -76,7 +76,8 @@ class EvalResult:
 def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
              multiple: Optional[int] = None, validation: bool = False,
              stop_at: int = -1, save_dir: Optional[str] = None,
-             verbose: bool = True, half_res: bool = False) -> EvalResult:
+             verbose: bool = True, half_res: bool = False,
+             jump_to: int = -1) -> EvalResult:
     multiple = multiple or TEST_MULTIPLES.get(dataset_name, cfg.multiple)
     ds = get_test_dataset(cfg, dataset_name, multiple, validation,
                           half_res=half_res)
@@ -92,6 +93,8 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     flow_cache = {"key": None, "flow": None, "padded": None, "extras": None}
 
     for idx, (frames, t, scene) in enumerate(test_samples(ds, patch)):
+        if jump_to > 1 and idx < jump_to:    # --jumptotest (main.py:817-819)
+            continue
         if frames is None or frames.ndim < 4:
             skipped.append(idx)
             continue

@@ -275,6 +275,12 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray) -> jnp.ndarray
             or (jax.default_backend() != "tpu" and not _INTERPRET)):
         from .warp import grid_sample_bilinear
         return grid_sample_bilinear(img[None], sx[None], sy[None])[0]
+    if C > CHUNK:
+        # wide images (e.g. feature-splat cotangents, 48+1 ch) chunk along
+        # channels: the one-hot matrices scale with winx*C (VMEM budget)
+        return jnp.concatenate(
+            [gather_at(img[..., i:i + CHUNK], sx, sy)
+             for i in range(0, C, CHUNK)], axis=-1)
     winx, qx = _win_x(C)
     pady, padx = WINY, winx
     sx_t = _tile_flatten(sx, H, W)

@@ -43,6 +43,7 @@ def parse_args(argv=None):
     p.add_argument("--test_patch_size", type=int, default=-1)
     p.add_argument("--validation_patch_size", type=int, default=512)
     p.add_argument("--stoptestat", type=int, default=-1)
+    p.add_argument("--jumptotest", type=int, default=-1)
     p.add_argument("--xiph2k", action="store_true")
     p.add_argument("--xtest2k", action="store_true")
     p.add_argument("--save_images", action="store_true")
@@ -138,6 +139,7 @@ def main(argv=None):
             args.xtest2k and name in ("X4K1000FPS", "X-Test"))
         res = evaluate(interp, cfg, name, multiple=mult,
                        stop_at=args.stoptestat, half_res=half,
+                       jump_to=args.jumptotest,
                        save_dir=cfg.log_dir if args.save_images else None)
         line = f"Final 4k frames PSNR {name} : {res.psnr:.4}"
         print(line + f"  (SSIM {res.ssim:.4f}, {res.frames_per_sec:.2f} fps)")
