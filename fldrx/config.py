@@ -72,9 +72,13 @@ class FLDRConfig:
     compute_dtype: str = "float32"    # bfloat16 for speed path, float32 for parity
     param_dtype: str = "float32"
     # Pallas warp engine (ops/fastwarp.py) on the inference path; the exact
-    # XLA ops remain the training/autodiff path and the fallback for
-    # non-tile-divisible shapes.
+    # XLA ops remain the strict-parity path and the fallback for
+    # non-tile-divisible / small shapes.
     fast_warp: bool = True
+    # Training via the warp engine's custom VJPs works (gradient-parity
+    # tested) but its first compile takes tens of minutes through the remote
+    # TPU compiler — opt in for long runs where steady-state speed dominates.
+    fast_warp_train: bool = False
 
     # --- paths ---
     checkpoint_dir: str = "./checkpoint_dir"

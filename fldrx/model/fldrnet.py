@@ -336,7 +336,7 @@ def forward_train(params: Params, cfg: FLDRConfig,
     6-tuple return.
     """
     S = cfg.S_trn
-    fast = getattr(cfg, "fast_warp", False)
+    fast = getattr(cfg, "fast_warp_train", False)
     feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
     vp = params["vfinet"]
 

@@ -55,6 +55,8 @@ TILE = 32                  # tile side → N = 1024 rows for the MXU
 WINY = 128                 # window rows (8-quantized origins → halo ±44)
 HALO = 96                  # nominal x halo before lane quantization
 CHUNK = 8                  # max channels per kernel call (VMEM budget)
+MIN_FAST_PIXELS = 1 << 16  # below this the XLA ops win (kernel/grid overhead
+                           # dominates) and compile-time variants multiply
 SPILL_CAP = 1 << 16        # max exactly-fixed spill pixels before fallback
 
 
@@ -272,6 +274,7 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray) -> jnp.ndarray
     non-TILE-divisible shapes."""
     H, W, C = img.shape
     if (H % TILE or W % TILE or H < TILE or W < TILE
+            or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
             or (jax.default_backend() != "tpu" and not _INTERPRET)):
         from .warp import grid_sample_bilinear
         return grid_sample_bilinear(img[None], sx[None], sy[None])[0]
@@ -308,6 +311,7 @@ def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
     """
     B, H, W, C = x.shape
     if (H % TILE or W % TILE or H < TILE or W < TILE
+            or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
             or (jax.default_backend() != "tpu" and not _INTERPRET)):
         from .warp import bwarp
         return bwarp(x, flow, with_mask)
@@ -515,6 +519,7 @@ def splat_sum_fast(inp: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     inp: [B, H, W, C]; flow: [B, H, W, 2]."""
     B, H, W, C = inp.shape
     if (H % TILE or W % TILE or H < TILE or W < TILE
+            or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
             or (jax.default_backend() != "tpu" and not _INTERPRET)):
         from .splat import splat_sum
         return splat_sum(inp, flow)
@@ -545,6 +550,7 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray
     XLA scatter off-TPU or on non-TILE-divisible shapes."""
     H, W, C = vals.shape
     if (H % TILE or W % TILE or H < TILE or W < TILE
+            or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
             or (jax.default_backend() != "tpu" and not _INTERPRET)):
         from .splat import splat_sum
         xs = jnp.arange(W, dtype=tx.dtype)
