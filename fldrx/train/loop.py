@@ -49,6 +49,10 @@ def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
     SM = SaveManager(cfg)
     SM.write_config()
     dataset = XTrain(cfg) if cfg.dataset == "X4K1000FPS" else VimeoTrain(cfg)
+    if len(dataset) < cfg.batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} clips < batch_size {cfg.batch_size} "
+            f"(drop_last would yield zero batches)")
     steps_per_epoch = max(1, len(dataset) // cfg.batch_size)
     if max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
