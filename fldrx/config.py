@@ -75,9 +75,10 @@ class FLDRConfig:
     # XLA ops remain the strict-parity path and the fallback for
     # non-tile-divisible / small shapes.
     fast_warp: bool = True
-    # Training via the warp engine's custom VJPs works (gradient-parity
-    # tested) but its first compile takes tens of minutes through the remote
-    # TPU compiler — opt in for long runs where steady-state speed dominates.
+    # Training via the warp engine's custom VJPs: measured 2.16 s/step vs
+    # 3.75 s on the XLA ops (batch 8, 512², v5e) — but the first compile
+    # takes tens of minutes through the remote TPU compiler (cached across
+    # processes). Opt in for long runs where steady-state speed dominates.
     fast_warp_train: bool = False
 
     # --- paths ---
