@@ -150,7 +150,9 @@ def _gather_kernel(C, winx, origins_ref, img_hbm, coords_ref, out_ref,
     sxr = coords_ref[0, 0:1, :] - ox.astype(jnp.float32)   # [1, N]
     syr = coords_ref[0, 1:2, :] - oy.astype(jnp.float32)
 
-    # y side stays row-oriented: transposed one-hot RYT [WINY, N]
+    # y side stays row-oriented: transposed one-hot RYT [WINY, N]; weights
+    # stay f32 (bf16 weights amplify through the softmax-splat normalisation
+    # downstream) — values round to bf16 once, at the MXU
     y0r = jnp.floor(syr)
     fyr = syr - y0r
     y0cr = jnp.clip(y0r, 0, WINY - 2).astype(jnp.int32)
@@ -166,25 +168,30 @@ def _gather_kernel(C, winx, origins_ref, img_hbm, coords_ref, out_ref,
     x0 = jnp.floor(xcol)
     fx = xcol - x0
     x0c = jnp.clip(x0, 0, winx - 2).astype(jnp.int32)
-    iu = jax.lax.broadcasted_iota(jnp.int32, (N, winx * C), 1) // C
-    CXe = ((iu == x0c).astype(jnp.float32) * (1.0 - fx)
-           + (iu == x0c + 1).astype(jnp.float32) * fx)
-
     okr = ((x0 >= 0) & (x0 <= winx - 2)).astype(jnp.float32)      # [N, 1]
     okyr = ((y0r >= 0) & (y0r <= WINY - 2)).astype(jnp.float32)   # [1, N]
 
+    # division-free tap masks: column j holds (u=j//C, c=j%C); the first tap
+    # occupies j ∈ [x0c·C, x0c·C+C), the second the next C lanes
+    lo = x0c * C                                                  # [N, 1]
+    iu = jax.lax.broadcasted_iota(jnp.int32, (N, winx * C), 1)
+    w1 = ((1.0 - fx) * okr)
+    w2 = (fx * okr)
     jc = jax.lax.broadcasted_iota(jnp.int32, (winx * C, C), 0) % C
     cc = jax.lax.broadcasted_iota(jnp.int32, (winx * C, C), 1)
-    M = (jc == cc).astype(jnp.float32)
+    M = (jc == cc).astype(jnp.bfloat16)
 
     window_dma(i).wait()
     # t1[i, uc] = sum_v RYT[v, i] * win[v, uc]  (contract dim0 x dim0)
-    t1 = jax.lax.dot_general(RYT, win_ref[i % 2].astype(jnp.bfloat16),
+    t1 = jax.lax.dot_general(RYT.astype(jnp.bfloat16), win_ref[i % 2],
                              (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # [N, winxC]
-    prod = CXe * t1 * okr
+    zero = jnp.zeros((), jnp.float32)
+    prod = (jnp.where((iu >= lo) & (iu < lo + C), t1 * w1, zero)
+            + jnp.where((iu >= lo + C) & (iu < lo + 2 * C), t1 * w2, zero))
     # outT[c, i] = sum_uc M[uc, c] * prod[i, uc]
-    outT = jax.lax.dot_general(M, prod, (((0,), (1,)), ((), ())),
+    outT = jax.lax.dot_general(M, prod.astype(jnp.bfloat16),
+                               (((0,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)  # [C, N]
     out_ref[0] = outT * okyr
 
@@ -211,7 +218,7 @@ def _gather_fast(img_pad2d, sx_t, sy_t, origins, n_tiles, C, winx):
         out_shape=jax.ShapeDtypeStruct((n_tiles, C, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=_INTERPRET,
     )(origins, img_pad2d, coords)
     return jnp.moveaxis(out_t, 1, 2)                       # [ntiles, N, C]
@@ -446,7 +453,7 @@ def _splat_fast(vals_t, tx_t, ty_t, origins, H, W, C, winx):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=_INTERPRET,
     )(origins, acc0, coords, valsT)
     acc = acc.reshape(Hp, W + 2 * padx, C)
