@@ -58,6 +58,14 @@ class FLDRConfig:
     test_patch_size: int = -1
     t_optimization: bool = False      # freeze-all-but-T_param stage (main.py:517-524)
     no_ev_optimization: bool = False
+    # optional loss switches (off in the papermodel preset, useful.py:163-190)
+    warping_loss: bool = False        # epoch-annealed backward-warp photometric
+                                      # loss (main.py:613-616)
+    orth_loss: bool = False           # EV orthogonality loss, added only when
+                                      # >= 0.1 (main.py:624-651)
+    # train-loop observability (main.py:679-690)
+    save_images: bool = False         # dump pyramid grids every freq_display it
+    freq_display: int = 100
 
     # --- eval / data ---
     multiple: int = 8

@@ -71,20 +71,26 @@ class EvalResult:
     per_t_psnr: List[float] = field(default_factory=list)
     n_samples: int = 0
     skipped: List[int] = field(default_factory=list)
+    rec_loss: float = 0.0     # rec_lambda·L1 on normalized frames (validation
+                              # ValLoss, main.py:874-877)
 
 
 def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
              multiple: Optional[int] = None, validation: bool = False,
              stop_at: int = -1, save_dir: Optional[str] = None,
              verbose: bool = True, half_res: bool = False,
-             jump_to: int = -1) -> EvalResult:
+             jump_to: int = -1, compute_metrics: bool = True,
+             xvfi_psnr: bool = False) -> EvalResult:
+    """compute_metrics=False is the reference's test_custom phase
+    (main.py:891: predictions written, no PSNR/SSIM — no GT assumed);
+    xvfi_psnr selects the XVFI RMSE formula (--XVFIPSNR, utils.py:644-659)."""
     multiple = multiple or TEST_MULTIPLES.get(dataset_name, cfg.multiple)
     ds = get_test_dataset(cfg, dataset_name, multiple, validation,
                           half_res=half_res)
     patch = (cfg.validation_patch_size if validation and
              dataset_name in ("X4K1000FPS", "X-Test") else cfg.test_patch_size)
 
-    psnrs, ssims, pred_time = Meter(), Meter(), Meter()
+    psnrs, ssims, pred_time, rec_losses = Meter(), Meter(), Meter(), Meter()
     per_t = [Meter() for _ in range(multiple - 1)]
     skipped: List[int] = []
 
@@ -118,13 +124,17 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         pred_time.update(time.time() - t0)
 
         out_img = np.around(metrics.denorm255(pred))
-        tgt_img = metrics.denorm255(target)
-        p = metrics.psnr(tgt_img, out_img)
-        s = metrics.ssim_bgr(tgt_img, out_img)
-        psnrs.update(p)
-        ssims.update(s)
-        if dataset_name.startswith("Inter4K"):
-            per_t[int(round(t * multiple)) - 1].update(p)
+        if compute_metrics:
+            if validation:
+                rec_losses.update(float(np.mean(np.abs(pred - target))))
+            tgt_img = metrics.denorm255(target)
+            p = (metrics.psnr_xvfi(tgt_img, out_img) if xvfi_psnr
+                 else metrics.psnr(tgt_img, out_img))
+            s = metrics.ssim_bgr(tgt_img, out_img)
+            psnrs.update(p)
+            ssims.update(s)
+            if dataset_name.startswith("Inter4K"):
+                per_t[int(round(t * multiple)) - 1].update(p)
 
         if save_dir:
             from PIL import Image
@@ -145,4 +155,4 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         psnr=psnrs.avg, ssim=ssims.avg, pred_time_avg=pred_time.avg,
         frames_per_sec=(1.0 / pred_time.avg if pred_time.avg else 0.0),
         per_t_psnr=[m.avg for m in per_t], n_samples=int(psnrs.count),
-        skipped=skipped)
+        skipped=skipped, rec_loss=cfg.rec_lambda * rec_losses.avg)

@@ -119,7 +119,8 @@ class Interpolator:
 
             def fn(params, flow, padded_frames, t, extras):
                 return forward_synthesis(params, cfg, flow, padded_frames, t,
-                                         precomputed=extras)
+                                         precomputed=extras,
+                                         compute_dtype=self._compute_dtype)
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 

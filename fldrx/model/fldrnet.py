@@ -165,12 +165,17 @@ def z_metrics(p: Params, x0, x1, flow_10, flow_01, fast: bool = False):
 
 def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
                t: jnp.ndarray, crop_hw: Optional[Tuple[int, int]] = None,
-               fast: bool = False, precomputed=None):
+               fast: bool = False, precomputed=None,
+               compute_dtype=jnp.float32):
     """Warp + blend at one level.
 
     flow_l: [B, h, w, 4] on the feature grid; images: [B, 2, H, W, 3] with
     H = 8h (this level's frames); t: [B, 1].
     Returns (out, flow_refine, occ_0, endflow) where out is [B, H, W, 3].
+
+    compute_dtype=bfloat16 runs the refine UNet at the MXU's fast pass
+    (~3x faster at 4K); warps, softmax and the candidate blend stay f32
+    (measured PSNR impact of the bf16 UNet: see PARITY.md).
     """
     B = flow_l.shape[0]
     tb = t.reshape(B, 1, 1, 1).astype(flow_l.dtype)
@@ -216,7 +221,8 @@ def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     refine_in = jnp.concatenate(
         [x0, x1, warped0, warped1, flow_t0, flow_t1,
          flowback_0, flowback_1, im0_tot, im1_tot], -1)      # 26 ch (:480)
-    out = refine_unet(p["refine"], refine_in)
+    out = refine_unet(p["refine"], refine_in.astype(compute_dtype))
+    out = out.astype(jnp.float32)
 
     T = p["T_param"].astype(out.dtype)
     occ = jax.nn.softmax(out[..., :6] / T, axis=-1)
@@ -298,14 +304,16 @@ def flow_extras(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
 def forward_synthesis(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
                       images: jnp.ndarray, t: jnp.ndarray,
                       orig_hw: Optional[Tuple[int, int]] = None,
-                      precomputed=None) -> jnp.ndarray:
+                      precomputed=None,
+                      compute_dtype=jnp.float32) -> jnp.ndarray:
     """Level-0 synthesis for one t given precomputed flow (and optionally the
     t-independent extras from `flow_extras`)."""
     fast = getattr(cfg, "fast_warp", False)
     with jax.named_scope("synthesis"):
         out, _, _, _ = synthesize(params["vfinet"], flow.astype(jnp.float32),
                                   images.astype(jnp.float32), t, fast=fast,
-                                  precomputed=precomputed)
+                                  precomputed=precomputed,
+                                  compute_dtype=compute_dtype)
     if orig_hw is not None:
         out = out[:, :orig_hw[0], :orig_hw[1]]
     return out
@@ -322,7 +330,8 @@ def forward_test(params: Params, cfg: FLDRConfig,
     fLDRnet.py:222; we crop to the caller's pre-padding size).
     """
     flow = forward_flow(params, cfg, pyramid, compute_dtype)
-    return forward_synthesis(params, cfg, flow, pyramid[0], t, orig_hw)
+    return forward_synthesis(params, cfg, flow, pyramid[0], t, orig_hw,
+                             compute_dtype=compute_dtype)
 
 
 def forward_train(params: Params, cfg: FLDRConfig,

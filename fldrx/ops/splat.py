@@ -15,8 +15,9 @@ TPU-first notes:
     gradient-as-gather of the CUDA backward kernels for free; the flow
     gradient flows through the bilinear corner weights exactly as in
     kernel_Softsplat_updateGradFlow. No custom_vjp needed for correctness.
-  * A Pallas kernel (fldrx/ops/splat_pallas.py) replaces this on the hot
-    4K path; this XLA version is the portable fallback and the autodiff path.
+  * The Pallas warp engine (fldrx/ops/fastwarp.py) replaces this on the hot
+    4K path; this XLA version is the strict-parity reference, the portable
+    fallback, and the default autodiff path.
 
 Layout: NHWC input, flow [B,H,W,2] (x-disp, y-disp).
 """

@@ -46,9 +46,21 @@ class SaveManager:
         return os.path.join(self.ckpt_dir, f"{self.model_dir}_{tag}.npz")
 
     def save(self, params, meta: Dict[str, Any], opt_state=None,
-             best: bool = False, epoch: Optional[int] = None):
+             best: bool = False, epoch: Optional[int] = None, step=None):
+        """Persist params + optimizer state + step counter — the equivalent of
+        the reference's combined dict with state_dict_Optimizer /
+        state_dict_Scheduler (main.py:755-770): optax keeps the LR-schedule
+        position inside opt_state (scale_by_schedule count), so restoring it
+        restores both Adam moments and the schedule."""
         flat = flatten_params(jax.tree.map(np.asarray, params))
         blob = {f"params/{k}": v for k, v in flat.items()}
+        if opt_state is not None:
+            # opt_state is an optax pytree whose structure is reproducible
+            # from (params, cfg); serialize leaves by index
+            for i, leaf in enumerate(jax.tree.leaves(opt_state)):
+                blob[f"opt/{i:04d}"] = np.asarray(leaf)
+        if step is not None:
+            blob["meta/step"] = np.asarray(step)
         for k, v in meta.items():
             blob[f"meta/{k}"] = np.asarray(v)
         np.savez(self._path("latest"), **blob)
@@ -58,8 +70,11 @@ class SaveManager:
             shutil.copyfile(self._path("latest"), self._path(f"epc{epoch}"))
 
     def load(self, take_best: bool = False, specific_epoch: int = -1):
-        """Returns (params, meta) from best/latest/specific checkpoint
-        (utils.py:85-97)."""
+        """Returns (params, meta, opt_leaves) from best/latest/specific
+        checkpoint (utils.py:85-97). opt_leaves is None for checkpoints saved
+        without optimizer state; otherwise the flat leaf list to be
+        tree_unflattened against a freshly-initialized opt_state's treedef
+        (main.py:474-495 restore semantics)."""
         if specific_epoch >= 0:
             path = self._path(f"epc{specific_epoch}")
         elif take_best:
@@ -69,7 +84,9 @@ class SaveManager:
         z = np.load(path)
         flat = {k[len("params/"):]: z[k] for k in z.files if k.startswith("params/")}
         meta = {k[len("meta/"):]: z[k] for k in z.files if k.startswith("meta/")}
-        return unflatten_params(flat), meta
+        opt_keys = sorted(k for k in z.files if k.startswith("opt/"))
+        opt_leaves = [z[k] for k in opt_keys] if opt_keys else None
+        return unflatten_params(flat), meta, opt_leaves
 
     def exists(self, take_best: bool = False) -> bool:
         tag = "best_PSNR" if take_best else "latest"
@@ -93,9 +110,14 @@ class OrbaxSaveManager(SaveManager):
                                             f"{self.model_dir}_{tag}.orbax"))
 
     def save(self, params, meta: Dict[str, Any], opt_state=None,
-             best: bool = False, epoch: Optional[int] = None):
+             best: bool = False, epoch: Optional[int] = None, step=None):
         state = {"params": jax.tree.map(np.asarray, params),
                  "meta": {k: np.asarray(v) for k, v in meta.items()}}
+        if step is not None:
+            state["meta"]["step"] = np.asarray(step)
+        if opt_state is not None:
+            state["opt"] = {f"{i:04d}": np.asarray(l)
+                            for i, l in enumerate(jax.tree.leaves(opt_state))}
         self._ckptr.save(self._opath("latest"), state, force=True)
         if best:
             self._ckptr.wait_until_finished()
@@ -111,7 +133,9 @@ class OrbaxSaveManager(SaveManager):
         else:
             tag = "best_PSNR" if take_best else "latest"
         restored = self._ckptr.restore(self._opath(tag))
-        return restored["params"], restored["meta"]
+        opt = restored.get("opt")
+        opt_leaves = ([opt[k] for k in sorted(opt)] if opt else None)
+        return restored["params"], restored["meta"], opt_leaves
 
     def exists(self, take_best: bool = False) -> bool:
         tag = "best_PSNR" if take_best else "latest"

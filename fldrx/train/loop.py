@@ -9,6 +9,8 @@ meter, text-log lines, T-optimization stage support.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from typing import Optional
 
@@ -58,19 +60,38 @@ def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
 
     start_epoch, best_psnr, pca_fitted = 0, 0.0, False
+    opt_leaves, saved_step = None, None
     if continue_training and SM.exists(take_best=cfg.t_optimization):
-        params, meta = SM.load(take_best=cfg.t_optimization)
+        params, meta, opt_leaves = SM.load(take_best=cfg.t_optimization)
         params = jax.tree.map(jnp.asarray, params)
         start_epoch = int(meta.get("last_epoch", -1)) + 1
         best_psnr = float(meta.get("best_PSNR", 0.0))
+        saved_step = meta.get("step")
         pca_fitted = True
-        if cfg.t_optimization:
-            start_epoch = int(meta.get("last_epoch", -1)) + 1
     else:
         params = init_params(jax.random.PRNGKey(seed), cfg)
 
     state = TrainState.create(params, cfg, steps_per_epoch)
+    # restore optimizer state + LR-schedule position (main.py:474-495: the
+    # reference reloads state_dict_Optimizer/Scheduler; optax keeps the
+    # schedule count inside opt_state, so restoring the leaves restores both).
+    # The T-optimization stage deliberately starts a FRESH optimizer (new lr,
+    # frozen groups — main.py:517-524), so opt_state is not restored there.
+    if opt_leaves is not None and not cfg.t_optimization:
+        treedef = jax.tree.structure(state.opt_state)
+        if treedef.num_leaves == len(opt_leaves):
+            state = state.replace(
+                opt_state=jax.tree.unflatten(
+                    treedef, [jnp.asarray(l) for l in opt_leaves]))
+        else:
+            print("[resume] optimizer state incompatible "
+                  f"({len(opt_leaves)} leaves vs {treedef.num_leaves}) — "
+                  "keeping fresh optimizer")
+    if saved_step is not None and not cfg.t_optimization:
+        state = state.replace(step=jnp.asarray(int(saved_step), jnp.int32))
     step_fn = make_train_step(cfg, mesh)
+
+    scalar_log = os.path.join(cfg.text_dir, f"{cfg.model_dir}_scalars.jsonl")
 
     if verbose:
         n = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(params))
@@ -90,12 +111,18 @@ def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
                 state = state.replace(params={
                     **state.params, "pca": fit_pca_from_batch(batch["frames"], cfg)})
                 pca_fitted = True
+            batch["epoch"] = np.float32(epoch)   # warping-loss annealing input
             state, m = step_fn(state, batch)
             losses.update(float(m["loss"]))
             warp_loss.update(float(m["warp"]))
-            if verbose and i % 100 == 0:
-                print(f"Epoch [{epoch}][{i}/{steps_per_epoch}] "
-                      f"loss {losses.avg:.4e} warp {warp_loss.avg:.4e}")
+            batch_psnr.update(float(m["psnr"]))
+            if i % cfg.freq_display == 0:
+                if verbose:
+                    print(f"Epoch [{epoch}][{i}/{steps_per_epoch}] "
+                          f"loss {losses.avg:.4e} warp {warp_loss.avg:.4e} "
+                          f"PSNR {batch_psnr.avg:.2f}")
+                if cfg.save_images:
+                    _dump_pyramid(cfg, state.params, batch, epoch, i)
 
         if verbose:
             print(f"Time needed for epoch (min): {(time.time() - t_epoch) / 60:.2f}")
@@ -109,7 +136,7 @@ def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
                 res = evaluate(interp, val_cfg, "X4K1000FPS", multiple=4,
                                validation=True, verbose=False)
                 test_psnr = res.psnr
-                test_loss = 0.0
+                test_loss = res.rec_loss
             except (RuntimeError, FileNotFoundError):
                 if verbose:
                     print("validation data unavailable — skipping validation")
@@ -121,11 +148,41 @@ def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
             "last_epoch": epoch, "batch_size": cfg.batch_size,
             "trainLoss": losses.avg, "testLoss": test_loss,
             "testPSNR": test_psnr, "best_PSNR": best_psnr,
-        }, best=best, epoch=epoch)
+        }, opt_state=state.opt_state, step=np.asarray(state.step),
+            best=best, epoch=epoch)
         SM.write_info(f"{epoch}\t\t{losses.avg:.4}\t\t{warp_loss.avg:.4}\t\t"
                       f"{test_loss:.4}\t\t{test_psnr:.4}\t\t{best_psnr:.4}")
+        # TB-equivalent structured scalar series (main.py:449-452)
+        with open(scalar_log, "a") as f:
+            f.write(json.dumps({
+                "epoch": epoch, "step": int(state.step),
+                "train_loss": losses.avg, "warp_loss": warp_loss.avg,
+                "train_psnr": batch_psnr.avg, "val_loss": test_loss,
+                "val_psnr": test_psnr, "best_psnr": best_psnr,
+            }) + "\n")
 
     return state.params, best_psnr
+
+
+def _dump_pyramid(cfg: FLDRConfig, params, batch, epoch: int, it: int):
+    """Training-time pyramid image dump (main.py:683-690 → get_pyramid_images,
+    utils.py:945-995): prediction pyramid + flow visualizations + GT + mean
+    image, written every freq_display iterations under log_dir/pyramid."""
+    from ..eval.pipeline import build_pyramid
+    from ..eval.visualize import pyramid_grid, save_image
+    from ..model.fldrnet import forward_train
+
+    frames = jnp.asarray(batch["frames"][:1])
+    t = jnp.asarray(batch["t"][:1])
+    pyr = build_pyramid(frames, cfg, cfg.S_trn + 1)
+    out = forward_train(params, cfg, pyr, t)
+    grid = pyramid_grid(
+        [np.asarray(o) for o in out["out_pyramid"]],
+        [np.asarray(f) for f in out["unrefined_flow_pyramid"]],
+        target=np.asarray(batch["target"][:1]),
+        mean_img=np.asarray(out["mean_pics"][:1]), n_rows=1)
+    d = os.path.join(cfg.log_dir, f"exp_{cfg.exp_num}", "pyramid")
+    save_image(os.path.join(d, f"{epoch:03d}_{it:04d}_training.png"), grid)
 
 
 def train_it(cfg: FLDRConfig, toptim: bool = True, **kw):

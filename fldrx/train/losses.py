@@ -173,8 +173,16 @@ def distillation_loss(unref_flow_pyramid, gtflow: jnp.ndarray) -> jnp.ndarray:
 
 
 def total_loss(cfg: FLDRConfig, fwd_out: dict, target: jnp.ndarray,
-               frames: jnp.ndarray, t: jnp.ndarray):
-    """Assemble the shipped training loss. frames: [B,2,H,W,3] level-0 inputs."""
+               frames: jnp.ndarray, t: jnp.ndarray, params=None, epoch=None):
+    """Assemble the shipped training loss. frames: [B,2,H,W,3] level-0 inputs.
+
+    Optional switches (off in papermodel): cfg.warping_loss adds the
+    epoch-annealed backward-warp photometric term (main.py:613-616;
+    alpha = warp_alpha*(1-exp(-(epochs/4-epoch))) while epoch <= epochs/4);
+    cfg.orth_loss adds the EV orthogonality penalty only when it exceeds 0.1
+    (main.py:624-651). `epoch` may be a traced scalar; `params` supplies the
+    EV matrix for the orthogonality term.
+    """
     rec = pyramid_rec_loss(cfg, fwd_out["out_pyramid"], target)
     s = cfg.scales[0]
     h, w = frames.shape[2] // s, frames.shape[3] // s
@@ -184,5 +192,25 @@ def total_loss(cfg: FLDRConfig, fwd_out: dict, target: jnp.ndarray,
         fwd_out["flow_refine_pyramid"][0], img0_ds, img1_ds)
     warp = cfg.warp_alpha * endflow_forward_warp_loss(
         fwd_out["endflow_pyramid"][0], frames[:, 0], frames[:, 1], t)
+    if cfg.warping_loss and epoch is not None:
+        # fine unrefined flow upscaled ×scales[0] bicubic (main.py:614-616)
+        fine = fwd_out["unrefined_flow_pyramid"][0]
+        H, W = frames.shape[2], frames.shape[3]
+        fine_up = float(s) * resize_2d(fine, (H, W), "bicubic",
+                                       cfg.align_corners)
+        ep = jnp.asarray(epoch, jnp.float32)
+        alpha = jnp.where(
+            ep <= cfg.epochs / 4,
+            cfg.warp_alpha * (1.0 - jnp.exp(-(cfg.epochs / 4 - ep))), 0.0)
+        warp = warp + alpha * warping_loss(frames, fine_up)
     total = rec + smooth + warp
-    return total, {"loss": total, "rec": rec, "smooth": smooth, "warp": warp}
+    orth = jnp.zeros(())
+    if cfg.orth_loss and params is not None:
+        orth = orthogonality_loss(params["pca"]["ev"].astype(jnp.float32))
+        total = total + jnp.where(orth >= 0.1, orth, 0.0)   # caller's ≥0.1 rule
+    # per-batch PSNR on [0,1]-denormed frames (main.py:670-673; skimage
+    # peak_signal_noise_ratio with data_range=1 == 10·log10(1/mse))
+    mse = jnp.mean((fwd_out["out_pyramid"][0] / 2 - target / 2) ** 2)
+    psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+    return total, {"loss": total, "rec": rec, "smooth": smooth, "warp": warp,
+                   "orth": orth, "psnr": psnr}

@@ -98,7 +98,8 @@ def make_train_step(cfg: FLDRConfig, mesh=None, donate: bool = True):
         frames = batch["frames"]
         pyr = build_pyramid(frames, cfg, cfg.S_trn + 1)
         out = forward_train(params, cfg, pyr, batch["t"])
-        return total_loss(cfg, out, batch["target"], frames, batch["t"])
+        return total_loss(cfg, out, batch["target"], frames, batch["t"],
+                          params=params, epoch=batch.get("epoch"))
 
     def step(state: TrainState, batch):
         (_, metrics), grads = jax.value_and_grad(

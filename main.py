@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--jumptotest", type=int, default=-1)
     p.add_argument("--xiph2k", action="store_true")
     p.add_argument("--xtest2k", action="store_true")
+    p.add_argument("--XVFIPSNR", action="store_true",
+                   help="XVFI RMSE-based PSNR formula (reference main.py:169)")
     p.add_argument("--save_images", action="store_true")
     p.add_argument("--no_validation", action="store_true")
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoint_dir")
@@ -132,6 +134,17 @@ def main(argv=None):
 
     interp, cfg, _ = prepare_model(args.ckpt or DEFAULT_NPZ, cfg)
     SM = SaveManager(cfg)
+
+    if cfg.phase == "metrics_evaluation":
+        # reference parity: metrics_evaluation loads the model and skips the
+        # final-test loop entirely (main.py:353 guard) — a no-op phase
+        print("metrics_evaluation: model loaded; the reference runs no eval "
+              "loop in this phase (main.py:353) — nothing to do")
+        return
+
+    # test_custom (main.py:891): run the sweep writing predictions only, no
+    # ground-truth metrics
+    custom = cfg.phase == "test_custom"
     print("\n------------------- Final Test starts -------------------")
     for name in cfg.testsets:
         mult = TEST_MULTIPLES.get(name, cfg.multiple)
@@ -140,7 +153,9 @@ def main(argv=None):
         res = evaluate(interp, cfg, name, multiple=mult,
                        stop_at=args.stoptestat, half_res=half,
                        jump_to=args.jumptotest,
-                       save_dir=cfg.log_dir if args.save_images else None)
+                       compute_metrics=not custom, xvfi_psnr=args.XVFIPSNR,
+                       save_dir=cfg.log_dir if (args.save_images or custom)
+                       else None)
         line = f"Final 4k frames PSNR {name} : {res.psnr:.4}"
         print(line + f"  (SSIM {res.ssim:.4f}, {res.frames_per_sec:.2f} fps)")
         SM.write_info(line)

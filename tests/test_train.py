@@ -141,14 +141,22 @@ def test_save_manager_roundtrip(tmp_path):
                                text_dir=str(tmp_path / "tx"))
     sm = SaveManager(cfg)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    sm.save(params, {"last_epoch": 3, "best_PSNR": 25.5}, best=True, epoch=9)
+    state = TrainState.create(params, cfg)
+    sm.save(params, {"last_epoch": 3, "best_PSNR": 25.5},
+            opt_state=state.opt_state, step=np.int32(7), best=True, epoch=9)
     assert sm.exists() and sm.exists(take_best=True)
-    loaded, meta = sm.load(take_best=True)
+    loaded, meta, opt_leaves = sm.load(take_best=True)
     assert int(meta["last_epoch"]) == 3
+    assert int(meta["step"]) == 7
     np.testing.assert_array_equal(
         np.asarray(loaded["vfinet"]["conv_flow1"]["w"]),
         np.asarray(params["vfinet"]["conv_flow1"]["w"]))
-    loaded_epc, _ = sm.load(specific_epoch=9)
+    # optimizer state round-trips leaf-for-leaf against a fresh treedef
+    fresh = jax.tree.leaves(state.opt_state)
+    assert opt_leaves is not None and len(opt_leaves) == len(fresh)
+    for a, b in zip(opt_leaves, fresh):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    loaded_epc, _, _ = sm.load(specific_epoch=9)
     assert "vfinet" in loaded_epc
     sm.write_info("hello")
     assert "hello" in open(sm.text_path).read()
@@ -164,10 +172,102 @@ def test_orbax_save_manager_roundtrip(tmp_path):
                                text_dir=str(tmp_path / "tx"))
     sm = OrbaxSaveManager(cfg)
     params = init_params(jax.random.PRNGKey(1), cfg)
-    sm.save(params, {"last_epoch": 7, "best_PSNR": 20.0}, best=True)
+    state = TrainState.create(params, cfg)
+    sm.save(params, {"last_epoch": 7, "best_PSNR": 20.0},
+            opt_state=state.opt_state, step=np.int32(3), best=True)
     sm.close()
     assert sm.exists(take_best=True)
-    loaded, meta = sm.load(take_best=True)
+    loaded, meta, opt_leaves = sm.load(take_best=True)
     assert int(meta["last_epoch"]) == 7
+    assert int(meta["step"]) == 3
+    assert opt_leaves is not None
+    assert len(opt_leaves) == len(jax.tree.leaves(state.opt_state))
     np.testing.assert_allclose(
         np.asarray(loaded["pca"]["ev"]), np.asarray(params["pca"]["ev"]))
+
+
+def _toy_xtrain(tmp_path, n_frames=65, hw=(96, 128)):
+    import os
+    from PIL import Image
+    root = str(tmp_path / "xtrain")
+    rng = np.random.RandomState(7)
+    d = os.path.join(root, "s1", "clip1")
+    os.makedirs(d, exist_ok=True)
+    for i in range(n_frames):
+        Image.fromarray(rng.randint(0, 255, (*hw, 3), np.uint8)).save(
+            os.path.join(d, f"{i:04d}.png"))
+    return root
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """Interrupted-and-resumed training reproduces the uninterrupted run:
+    optimizer moments + LR-schedule position survive the restart
+    (reference main.py:474-495,755-770)."""
+    from fldrx.train.loop import train
+
+    root = _toy_xtrain(tmp_path)
+    base = papermodel().replace(
+        S_trn=1, S_tst=1, phase="train", batch_size=1, patch_size=64,
+        init_lr=1e-3, lr_milestones=(1,),     # LR drop INSIDE the run: resume
+        lr_dec_fac=0.25,                      # must pick up the post-drop LR
+        x_train_data_path=root,
+        checkpoint_dir=str(tmp_path / "ckA"), text_dir=str(tmp_path / "txA"),
+        log_dir=str(tmp_path / "lgA"))
+
+    # uninterrupted: 4 epochs straight
+    p_full, _ = train(base.replace(epochs=4), max_steps_per_epoch=2,
+                      no_validation=True, verbose=False, seed=3)
+
+    # interrupted: 2 epochs, stop, resume for 2 more from the checkpoint
+    cfg_b = base.replace(epochs=2,
+                         checkpoint_dir=str(tmp_path / "ckB"),
+                         text_dir=str(tmp_path / "txB"),
+                         log_dir=str(tmp_path / "lgB"))
+    train(cfg_b, max_steps_per_epoch=2, no_validation=True, verbose=False,
+          seed=3)
+    p_res, _ = train(cfg_b.replace(epochs=4), max_steps_per_epoch=2,
+                     no_validation=True, verbose=False, seed=3,
+                     continue_training=True)
+
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(p_full),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(p_res),
+                   key=lambda kv: str(kv[0]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(ka))
+
+
+def test_optional_loss_switches():
+    """orthLoss >= 0.1 rule + warping-loss epoch annealing (main.py:613-651)."""
+    cfg = papermodel().replace(S_trn=1, S_tst=1, phase="train",
+                               warping_loss=True, orth_loss=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state = TrainState.create(params, cfg)
+    step = make_train_step(cfg, donate=False)
+    batch = _tiny_batch(cfg)
+    batch["epoch"] = np.float32(0.0)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["orth"]) >= 0.0
+    # identity-like init EVs are orthogonal → orth small → NOT added
+    from fldrx.train.losses import orthogonality_loss
+    ov = float(orthogonality_loss(jnp.asarray(params["pca"]["ev"])))
+    if ov < 0.1:
+        # loss with orth_loss off at same params must match (orth not added)
+        cfg2 = cfg.replace(orth_loss=False)
+        step2 = make_train_step(cfg2, donate=False)
+        state2 = TrainState.create(init_params(jax.random.PRNGKey(0), cfg2), cfg2)
+        b2 = _tiny_batch(cfg2)
+        b2["epoch"] = np.float32(0.0)
+        _, m2 = step2(state2, b2)
+        np.testing.assert_allclose(float(m["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+    # annealing: late epoch → warping term zero; early epoch → positive alpha
+    b3 = _tiny_batch(cfg)
+    b3["epoch"] = np.float32(cfg.epochs)          # past epochs/4 → alpha = 0
+    _, m_late = step(TrainState.create(params, cfg), b3)
+    b4 = _tiny_batch(cfg)
+    b4["epoch"] = np.float32(0.0)
+    _, m_early = step(TrainState.create(params, cfg), b4)
+    assert float(m_early["warp"]) >= float(m_late["warp"])
