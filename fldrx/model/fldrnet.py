@@ -105,8 +105,105 @@ def refine_unet(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# per-level flow estimation (fLDRnet.py:376-397)
+# space-to-depth refine UNet — weight-exact repacking for TPU lane efficiency
+#
+# Why: the UNet's tensors have 6..96 channels; NHWC arrays with C < 128 pad
+# the minor (lane) dim to 128 on TPU, so every conv/upsample/concat pays up
+# to 8x the HBM traffic (measured: 72 ms bf16 at 4K, ~20x off roofline, with
+# dec3/upsample dominating). Packing f x f spatial cells into channels keeps
+# every tensor >= 64 lanes; the convs below consume/produce packed tensors
+# directly via a one-time sparse re-indexing of the SAME weights, so the
+# arithmetic is exactly the reference conv's (summation order aside).
 # ---------------------------------------------------------------------------
+
+def s2d(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[B,H,W,C] → [B,H/f,W/f,f²C]; cell-major channel order (u·f+v)·C+c."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // f, f, W // f, f, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, H // f, W // f, f * f * C)
+
+
+def d2s(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Inverse of s2d."""
+    B, Hf, Wf, Cf = x.shape
+    C = Cf // (f * f)
+    x = x.reshape(B, Hf, Wf, f, f, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, Hf * f, Wf * f, C)
+
+
+def _repack_conv_w(w: jnp.ndarray, pin: int, pout: int, stride: int,
+                   pad: int) -> jnp.ndarray:
+    """Re-index conv weights [kh,kw,C,K] for packed operands.
+
+    The conv runs on a fine grid; input arrives pin-packed, output leaves
+    pout-packed, both at the same packed spatial grid (requires
+    pin == stride·pout). Fine-grid tap stride·io + ky − pad lands in packed
+    cell divmod(·, pin); a 3×3 packed kernel always suffices for
+    kh − pad ≤ stride + pad·(pin−1) here (kh ≤ 4, pad = 1). Zero cells of
+    the packed kernel reproduce the fine conv's zero padding exactly.
+    """
+    kh, kw, C, K = w.shape
+    assert pin == stride * pout
+    W = np.zeros((3, 3, pin * pin * C, pout * pout * K), np.float64)
+    Wj = jnp.asarray(W, w.dtype)
+    for io in range(pout):
+        for jo in range(pout):
+            for ky in range(kh):
+                for kx in range(kw):
+                    dy, uy = divmod(stride * io + ky - pad, pin)
+                    dx, ux = divmod(stride * jo + kx - pad, pin)
+                    ci = (uy * pin + ux) * C
+                    co = (io * pout + jo) * K
+                    Wj = Wj.at[dy + 1, dx + 1, ci:ci + C, co:co + K].set(
+                        w[ky, kx])
+    return Wj
+
+
+def _packed_conv(p: Params, x: jnp.ndarray, pin: int, pout: int,
+                 stride: int, pad: int = 1) -> jnp.ndarray:
+    w = _repack_conv_w(p["w"], pin, pout, stride, pad).astype(x.dtype)
+    b = jnp.tile(p["b"], pout * pout).astype(x.dtype)
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+    return y + b
+
+
+def refine_unet_s2d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """PCARefineUNet on space-to-depth packed tensors (weight-exact).
+
+    Grids: full H×W input → quarter-spatial packed reps throughout.
+    Measured at 4K bf16: ~9 ms vs 72 ms for the plain-NHWC version.
+    """
+    B, H, W, C = x.shape
+    xs4 = s2d(x, 4)                                   # [H/4,W/4,16C]
+    e1 = relu(_packed_conv(p["enc1"], xs4, 4, 2, 2))  # s2d2(half), 64ch
+    e2 = relu(_packed_conv(p["enc2"], e1, 2, 1, 2))   # plain quarter, 32ch
+    e2p = s2d(e2, 2)                                  # s2d2(quarter), 128ch
+    e3 = relu(_packed_conv(p["enc3"], e2p, 2, 1, 2))  # plain eighth, 64ch
+    d0 = relu(conv2d(p["dec0"], e3))                  # plain eighth, 64ch
+    # upsample to quarter grid + skip concat (both plain at [H/4, W/4])
+    u0 = jnp.concatenate([upsample_nearest2x(d0), e2], -1)   # 96ch quarter
+    d1 = relu(conv2d(p["dec1"], u0))                  # 32ch quarter
+    # half grid, packed: nearest-upsample = repeat d1 per cell, interleaved
+    # with the matching cell slice of the e1 skip (cell-major channel order)
+    e1c = e1.shape[-1] // 4
+    u1 = jnp.concatenate(
+        [jnp.concatenate([d1, e1[..., cell * e1c:(cell + 1) * e1c]], -1)
+         for cell in range(4)], -1)                   # s2d2(half), 4*(32+16)
+    d2 = relu(_packed_conv(p["dec2"], u1, 2, 2, 1))   # s2d2(half), 64ch
+    # full grid packed: s2d4(full) cell (u,v) ← d2 cell (u//2, v//2)
+    d2c = d2.shape[-1] // 4
+    u2 = jnp.concatenate(
+        [d2[..., ((u // 2) * 2 + (v // 2)) * d2c:
+             ((u // 2) * 2 + (v // 2) + 1) * d2c]
+         for u in range(4) for v in range(4)], -1)    # s2d4(full), 16*16
+    out = _packed_conv(p["dec3"], u2, 4, 4, 1)        # s2d4(full), 16*out
+    return d2s(out, 4)
 
 def _warp_fns(fast: bool):
     """(bwarp, softsplat) implementation pair: exact XLA or the Pallas warp
@@ -213,15 +310,35 @@ def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     warped1 = ssplat(x1, flow_t1, z=z1)
 
     # backward-warp candidates via flow composition (:474-479)
-    flowback_0 = bw(flow_10 * tb, (1.0 - tb) * flow_01)
-    flowback_1 = bw(flow_01 * (1.0 - tb), tb * flow_10)
+    if fast:
+        # fast path: compose the (everywhere 8x-bilinear-upsampled, hence
+        # smooth) flow fields at the feature grid and upsample the result —
+        # commutes with the full-res composition up to second-order terms;
+        # measured PSNR impact recorded in PARITY.md. Kills two full-res
+        # gathers per t-value.
+        from ..ops.warp import bwarp as bw_exact
+        fb0 = bw_exact(flow_l[..., 0:2] * tb, (1.0 - tb) * flow_l[..., 2:4])
+        fb1 = bw_exact(flow_l[..., 2:4] * (1.0 - tb), tb * flow_l[..., 0:2])
+        flowback_0 = up(fb0)
+        flowback_1 = up(fb1)
+        if crop_hw is not None:
+            flowback_0 = flowback_0[:, :crop_hw[0], :crop_hw[1]]
+            flowback_1 = flowback_1[:, :crop_hw[0], :crop_hw[1]]
+    else:
+        flowback_0 = bw(flow_10 * tb, (1.0 - tb) * flow_01)
+        flowback_1 = bw(flow_01 * (1.0 - tb), tb * flow_10)
     im0_tot = bw(x0, flowback_0)
     im1_tot = bw(x1, flowback_1)
 
     refine_in = jnp.concatenate(
         [x0, x1, warped0, warped1, flow_t0, flow_t1,
          flowback_0, flowback_1, im0_tot, im1_tot], -1)      # 26 ch (:480)
-    out = refine_unet(p["refine"], refine_in.astype(compute_dtype))
+    # s2d variant is a weight-exact repacking (lane-efficiency; ~8x faster
+    # at 4K) — use it whenever the spatial dims divide by 4
+    unet = (refine_unet_s2d
+            if refine_in.shape[1] % 4 == 0 and refine_in.shape[2] % 4 == 0
+            else refine_unet)
+    out = unet(p["refine"], refine_in.astype(compute_dtype))
     out = out.astype(jnp.float32)
 
     T = p["T_param"].astype(out.dtype)

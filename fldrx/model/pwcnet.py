@@ -6,7 +6,8 @@ shipped fLDRnet the teacher is disabled (fLDRnet.py:56 sets mypwc=None) and
 its checkpoint blob is absent from the mirror (.MISSING_LARGE_BLOBS), but the
 component is part of the inventory (SURVEY.md §2.3) and the north star names
 its correlation cost volume explicitly — so it ships here as a first-class
-model with the XLA cost volume (fldrx/ops/correlation.py).
+model with the Pallas cost-volume kernel on TPU and the XLA unroll
+elsewhere (fldrx/ops/correlation.py).
 
 Architecture: 6-level conv Extractor, per-level Decoder (cost volume over
 backward-warped features + dense-concat conv stack + learned up-flow/up-feat
@@ -22,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.correlation import correlation_cost_volume
+from ..ops.correlation import correlation_auto
 from ..ops.resize import resize_2d
 
 Params = Dict[str, Any]
@@ -104,14 +105,14 @@ def _backward_warp_pwc(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 def decoder(p: Params, level: int, feat1: jnp.ndarray, feat2: jnp.ndarray,
             previous: Optional[Dict[str, jnp.ndarray]]):
     if previous is None:
-        vol = _lrelu(correlation_cost_volume(feat1, feat2))
+        vol = _lrelu(correlation_auto(feat1, feat2))
         feat = vol
         flow_in = None
     else:
         flow_in = _deconv4x4s2(p["upflow"], previous["flow"])
         upfeat = _deconv4x4s2(p["upfeat"], previous["feat"])
         warped = _backward_warp_pwc(feat2, flow_in * _DBL_BACKWARD[level])
-        vol = _lrelu(correlation_cost_volume(feat1, warped))
+        vol = _lrelu(correlation_auto(feat1, warped))
         feat = jnp.concatenate([vol, feat1, flow_in, upfeat], -1)
     for name in ("one", "two", "thr", "fou", "fiv"):
         feat = jnp.concatenate([_lrelu(_conv(p[name], feat)), feat], -1)

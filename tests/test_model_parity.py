@@ -108,3 +108,22 @@ def test_init_params_forward_runs():
     out = forward_test(params, cfg, pyr_j, jnp.full((B, 1), 0.5))
     assert out.shape == (B, H, W, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_refine_unet_s2d_matches_plain():
+    """Space-to-depth UNet is a weight-exact repacking of refine_unet:
+    outputs match to float-roundoff at any %4 shape."""
+    import jax
+    import jax.numpy as jnp
+    from fldrx.config import papermodel
+    from fldrx.model.fldrnet import init_params, refine_unet, refine_unet_s2d
+
+    cfg = papermodel()
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    rp = params["vfinet"]["refine"]
+    rng = np.random.RandomState(0)
+    for H, W in ((32, 48), (64, 64)):
+        x = jnp.asarray(rng.rand(2, H, W, cfg.unet_in).astype(np.float32) * 2 - 1)
+        a = np.asarray(refine_unet(rp, x))
+        b = np.asarray(refine_unet_s2d(rp, x))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
