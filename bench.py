@@ -42,15 +42,37 @@ def main():
 
     H, W = 2160, 4096
     rng = np.random.RandomState(0)
-    frames = (rng.rand(1, 2, H, W, 3) * 2 - 1).astype(np.float32)
+    content = os.environ.get("FLDRX_BENCH_CONTENT", "natural")
+    if content == "noise":
+        frames = (rng.rand(1, 2, H, W, 3) * 2 - 1).astype(np.float32)
+    else:
+        # naturalistic moving content: band-limited texture + camera-pan
+        # motion between the two frames, so flow magnitudes and the warp
+        # engine's spill-tier hit rates resemble real video (uniform noise
+        # produces near-zero estimated flow — an unrealistically easy case)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        def tex(px, py):
+            return (np.sin((xx + px) / 17) * np.cos((yy + py) / 23)
+                    + 0.5 * np.sin((xx + py) / 5.3) * np.sin((yy + px) / 7.1)
+                    + 0.3 * np.sin((xx - px) / 61) * np.cos((yy + py) / 47))
+        f0 = np.stack([tex(0, 0), tex(9, 4), tex(3, 11)], -1)
+        f1 = np.stack([tex(22, 13), tex(31, 17), tex(25, 24)], -1)
+        frames = np.stack([f0, f1], 0)[None].astype(np.float32) * 0.6
     frames_j = jnp.asarray(frames)
     # the benchmark protocol: X-Test ×8 → 7 interpolated frames per pair
     # (main.py:359); flow is computed once per pair, synthesis per t
     multiple = int(os.environ.get("FLDRX_BENCH_MULTIPLE", "8"))
     t_values = np.linspace(1 / multiple, 1 - 1 / multiple, multiple - 1)
 
+    mode = os.environ.get("FLDRX_BENCH_MODE", "multi")
+
     def measure():
         flow, padded, extras = interp.precompute_flow(frames_j)
+        if mode == "multi":
+            # all 7 t-values in one jitted synthesis program
+            out = interp.synthesize_multi_at(flow, padded, t_values, (H, W),
+                                             extras)
+            return float(jnp.sum(out[-1]))
         out = None
         for tv in t_values:
             out = interp.synthesize_at(flow, padded, [[tv]], (H, W), extras)

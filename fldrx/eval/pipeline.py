@@ -135,6 +135,37 @@ class Interpolator:
             self.params, flow, padded_frames, t, extras)
         return out[:, :orig_hw[0], :orig_hw[1]]
 
+    # -- t-batched synthesis: all T time values in ONE jitted program -----
+    # (amortizes dispatch overhead and lets XLA overlap the per-t work;
+    # flow/extras are broadcast, so only synthesis memory scales with T)
+
+    def _compiled_synth_multi(self, shape, T):
+        key = ("synthT", T) + tuple(shape)
+        if key not in self._cache:
+            cfg = self.cfg
+
+            def fn(params, flow, padded_frames, ts, extras):
+                B = flow.shape[0]
+                outs = []
+                for k in range(T):
+                    outs.append(forward_synthesis(
+                        params, cfg, flow, padded_frames, ts[k],
+                        precomputed=extras,
+                        compute_dtype=self._compute_dtype))
+                return jnp.stack(outs, 0)
+            self._cache[key] = jax.jit(fn)
+        return self._cache[key]
+
+    def synthesize_multi_at(self, flow, padded_frames, t_values, orig_hw,
+                            extras=None):
+        """t_values: sequence of scalars → [T, B, H, W, 3] (cropped)."""
+        B = flow.shape[0]
+        ts = jnp.asarray(np.asarray(t_values, np.float32).reshape(-1, 1)
+                         * np.ones((1, B), np.float32))[..., None]
+        out = self._compiled_synth_multi(padded_frames.shape, len(t_values))(
+            self.params, flow, padded_frames, ts, extras)
+        return out[:, :, :orig_hw[0], :orig_hw[1]]
+
     def interpolate_multi_np(self, frames: np.ndarray, t_values) -> np.ndarray:
         """×N mode: one flow computation, one synthesis per t.
         Returns [len(t_values), B, H, W, 3]."""

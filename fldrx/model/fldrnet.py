@@ -315,10 +315,10 @@ def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
         # smooth) flow fields at the feature grid and upsample the result —
         # commutes with the full-res composition up to second-order terms;
         # measured PSNR impact recorded in PARITY.md. Kills two full-res
-        # gathers per t-value.
-        from ..ops.warp import bwarp as bw_exact
-        fb0 = bw_exact(flow_l[..., 0:2] * tb, (1.0 - tb) * flow_l[..., 2:4])
-        fb1 = bw_exact(flow_l[..., 2:4] * (1.0 - tb), tb * flow_l[..., 0:2])
+        # gathers per t-value. Composition itself also uses the fast kernel
+        # (the exact XLA gather is scalarized — ~75ms even at 288x512).
+        fb0 = bw(flow_l[..., 0:2] * tb, (1.0 - tb) * flow_l[..., 2:4])
+        fb1 = bw(flow_l[..., 2:4] * (1.0 - tb), tb * flow_l[..., 0:2])
         flowback_0 = up(fb0)
         flowback_1 = up(fb1)
         if crop_hw is not None:

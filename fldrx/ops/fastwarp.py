@@ -26,9 +26,10 @@ saves), so fast-path values carry ~1e-3 absolute error vs the exact XLA ops —
 measured PSNR impact < 0.01 dB. Strict bit-level parity runs use
 cfg.fast_warp=False (the exact XLA path).
 
-The splat kernel accumulates output windows in HBM via read-modify-write DMA
-under a sequential ("arbitrary") grid — the deterministic TPU replacement for
-the reference's CUDA atomicAdd (softSplat.py:40-49).
+The splat kernel accumulates into a VMEM strip swept down the image
+(sequential "arbitrary" grid; finalized rows flush to HBM exactly once) — the
+deterministic TPU replacement for the reference's CUDA atomicAdd
+(softSplat.py:40-49) with no read-modify-write DMA at all.
 
 The `*_diff` wrappers attach custom VJPs mirroring the reference's CUDA
 backward kernels (gradient-as-gather / gradient-as-splat built from the same
@@ -52,23 +53,35 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = bool(os.environ.get("FLDRX_PALLAS_INTERPRET"))
 
 TILE = 32                  # tile side → N = 1024 rows for the MXU
-WINY = 128                 # window rows (8-quantized origins → halo ±44)
-HALO = 96                  # nominal x halo before lane quantization
+WINY_G = 64                # gather window rows (8-quantized adaptive origin
+                           # → guaranteed y-halo ±12; spills → exact fixup)
+WINY_S = 96                # splat window rows (coarse-adaptive strip origin
+                           # → vertical reach ±(OYR_S−TILE); spills → fixup)
 CHUNK = 8                  # max channels per kernel call (VMEM budget)
 MIN_FAST_PIXELS = 1 << 16  # below this the XLA ops win (kernel/grid overhead
                            # dominates) and compile-time variants multiply
 SPILL_CAP = 1 << 16        # max exactly-fixed spill pixels before fallback
 
 
-def _win_x(C: int):
-    """(WINX, Qx): window width in pixels and the column-origin quantum such
-    that origin·C and WINX·C are multiples of the 128-lane tiling."""
-    qx = 128 // math.gcd(C, 128)
-    winx = TILE + HALO + qx
-    if (winx * C) % 128:
-        winx += qx - winx % qx
-    assert (winx * C) % 128 == 0 and winx % qx == 0
-    return winx, qx
+def _pick_k(tx: int) -> int:
+    """Tiles per grid step: largest of 8/4/2/1 dividing the tile-row length,
+    so K-groups never span image rows (shared splat windows require it)."""
+    for k in (8, 4, 2, 1):
+        if tx % k == 0:
+            return k
+    return 1
+
+
+def _win_geom(C: int):
+    """(C_padded, winx, qx): channels are padded to 4 or 8 so the column
+    quantum qx = 128/C stays small (a 3-channel window would need 128-px
+    column quantization); winx gives a guaranteed x-halo of ±32 after the
+    ±qx/2 quantization drift, with winx·C a multiple of the 128-lane tile."""
+    cp = 4 if C <= 4 else 8
+    qx = 128 // math.gcd(cp, 128)          # 32 or 16
+    winx = 128 if cp == 4 else 112
+    assert (winx * cp) % 128 == 0 and winx % qx == 0
+    return cp, winx, qx
 
 
 # ---------------------------------------------------------------------------
@@ -92,135 +105,155 @@ def _tile_unflatten(a: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     return a.reshape(H, W, *lead)
 
 
-def _origins(sx_t, sy_t, H, W, winx, qx, pady, padx):
+def _origins(sx_t, sy_t, H, W, winy, winx, qx, pady, padx):
     """Quantized per-tile window origins, clamped into the padded canvas."""
     cx = jnp.mean(sx_t, axis=1)
     cy = jnp.mean(sy_t, axis=1)
     # round (not floor): quantization drift ±q/2 keeps the guaranteed halo at
     # (win - TILE)/2 - q/2 on BOTH sides; floor would drop a whole quantum
     ox = jnp.round((cx - winx / 2) / qx).astype(jnp.int32) * qx
-    oy = jnp.round((cy - WINY / 2) / 8).astype(jnp.int32) * 8
+    oy = jnp.round((cy - winy / 2) / 8).astype(jnp.int32) * 8
     ox = jnp.clip(ox, -padx, ((W + padx - winx) // qx) * qx)
-    oy = jnp.clip(oy, -pady, ((H + pady - WINY) // 8) * 8)
+    oy = jnp.clip(oy, -pady, ((H + pady - winy) // 8) * 8)
     return oy, ox
 
 
-def _ok_mask(sx_t, sy_t, oy, ox, winx):
+SPLAT_M = 5                # number of coarse vertical window positions
+OYR_S = (SPLAT_M - 1) * TILE // 2 + TILE   # strip back-reach below 32r (96)
+
+
+def _origins_strip(sx_t, sy_t, tx, W, winy, winx, qx, padx):
+    """Per-tile window origins for the strip-accumulator splat. The window
+    row origin adapts to the tile's mean target row in COARSE TILE steps:
+    oy = 32r − OYR_S + 32m, m ∈ [0, SPLAT_M) — the strip add happens under
+    one of SPLAT_M sublane-STATIC predicated branches (a dynamic sublane
+    offset costs ~12µs/tile on Mosaic, measured). The x origin adapts per
+    tile freely (128-aligned lane offsets are cheap)."""
+    n_tiles = sx_t.shape[0]
+    cx = jnp.mean(sx_t, axis=1)
+    cy = jnp.mean(sy_t, axis=1)
+    r32 = (jnp.arange(n_tiles, dtype=jnp.int32) // tx) * TILE
+    ox = jnp.round((cx - winx / 2) / qx).astype(jnp.int32) * qx
+    ox = jnp.clip(ox, -padx, ((W + padx - winx) // qx) * qx)
+    m = jnp.clip(jnp.round(
+        (cy - winy / 2 - (r32 - OYR_S).astype(cy.dtype)) / TILE
+    ).astype(jnp.int32), 0, SPLAT_M - 1)
+    oy = r32 - OYR_S + m * TILE
+    return oy, ox, m
+
+
+def _ok_mask(sx_t, sy_t, oy, ox, winy, winx):
     rx = sx_t - ox[:, None].astype(sx_t.dtype)
     ry = sy_t - oy[:, None].astype(sy_t.dtype)
     x0 = jnp.floor(rx)
     y0 = jnp.floor(ry)
-    return ((x0 >= 0) & (x0 <= winx - 2) & (y0 >= 0) & (y0 <= WINY - 2))
+    return ((x0 >= 0) & (x0 <= winx - 2) & (y0 >= 0) & (y0 <= winy - 2))
 
 
 # ---------------------------------------------------------------------------
 # gather (backward warp)
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(C, winx, origins_ref, img_hbm, coords_ref, out_ref,
+def _gather_kernel(C, winx, K, origins_ref, img_hbm, coords_ref, out_ref,
                    win_ref, sem):
-    """One output tile; window DMAs double-buffered across grid steps.
+    """K output tiles per grid step; per-tile window DMAs double-buffered
+    across steps (the next step's K windows stream in while this step's
+    tiles compute).
 
     Layout discipline (all 2-D, no narrow-minor tensors — a [.., N, 1] array
-    costs 128x lane padding in HBM): coords arrive as rows [2, N] (sx, sy);
-    the x-row is turned into a column vector with an exact 1-wide MXU
-    contraction; the output leaves transposed [C, N].
+    costs 128x lane padding in HBM): coords arrive window-relative as rows
+    [2, N] (rx, ry); the x-row is turned into a column vector with an exact
+    1-wide MXU contraction; the output leaves transposed [C, N].
+
+    The x taps use the bilinear HAT function max(0, 1−|u−x|) instead of
+    iota-compare one-hots — bitwise identical on in-window pixels (the two
+    taps are the hat's only nonzeros) and ~15% faster (the mask pipeline on
+    [N, winx·C] is the kernel's VPU bottleneck, measured).
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    oy = origins_ref[2 * i]
-    ox = origins_ref[2 * i + 1]
 
-    def window_dma(j):
-        row = pl.multiple_of(origins_ref[2 * j] + WINY, 8)
-        col = pl.multiple_of((origins_ref[2 * j + 1] + winx) * C, 128)
+    def window_dma(step, slot, j):
+        row = pl.multiple_of(origins_ref[2 * (step * K + j)] + WINY_G, 8)
+        col = pl.multiple_of(
+            (origins_ref[2 * (step * K + j) + 1] + winx) * C, 128)
         return pltpu.make_async_copy(
-            img_hbm.at[pl.ds(row, WINY), pl.ds(col, winx * C)],
-            win_ref.at[j % 2], sem.at[j % 2])
+            img_hbm.at[pl.ds(row, WINY_G), pl.ds(col, winx * C)],
+            win_ref.at[slot, j], sem.at[slot, j])
 
     @pl.when(i == 0)
     def _():
-        window_dma(i).start()
+        for j in range(K):
+            window_dma(i, 0, j).start()
 
     @pl.when(i + 1 < n)
     def _():
-        window_dma(i + 1).start()
+        for j in range(K):
+            window_dma(i + 1, (i + 1) % 2, j).start()
 
     N = coords_ref.shape[2]
-    sxr = coords_ref[0, 0:1, :] - ox.astype(jnp.float32)   # [1, N]
-    syr = coords_ref[0, 1:2, :] - oy.astype(jnp.float32)
-
-    # y side stays row-oriented: transposed one-hot RYT [WINY, N]; weights
-    # stay f32 (bf16 weights amplify through the softmax-splat normalisation
-    # downstream) — values round to bf16 once, at the MXU
-    y0r = jnp.floor(syr)
-    fyr = syr - y0r
-    y0cr = jnp.clip(y0r, 0, WINY - 2).astype(jnp.int32)
-    ivT = jax.lax.broadcasted_iota(jnp.int32, (WINY, N), 0)
-    RYT = ((ivT == y0cr).astype(jnp.float32) * (1.0 - fyr)
-           + (ivT == y0cr + 1).astype(jnp.float32) * fyr)
-
-    # x side needs column vectors: exact row->col transpose on the MXU
-    one = jnp.ones((1, 1), jnp.float32)
-    xcol = jax.lax.dot_general(sxr, one, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)  # [N,1]
-    x0 = jnp.floor(xcol)
-    fx = xcol - x0
-    x0c = jnp.clip(x0, 0, winx - 2).astype(jnp.int32)
-    okr = ((x0 >= 0) & (x0 <= winx - 2)).astype(jnp.float32)      # [N, 1]
-    okyr = ((y0r >= 0) & (y0r <= WINY - 2)).astype(jnp.float32)   # [1, N]
-
-    # division-free tap masks: column j holds (u=j//C, c=j%C); the first tap
-    # occupies j ∈ [x0c·C, x0c·C+C), the second the next C lanes
-    lo = x0c * C                                                  # [N, 1]
-    iu = jax.lax.broadcasted_iota(jnp.int32, (N, winx * C), 1)
-    w1 = ((1.0 - fx) * okr)
-    w2 = (fx * okr)
+    ivT = jax.lax.broadcasted_iota(jnp.int32, (WINY_G, N), 0)
+    ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, winx * C), 1)
+           // C).astype(jnp.float32)
     jc = jax.lax.broadcasted_iota(jnp.int32, (winx * C, C), 0) % C
     cc = jax.lax.broadcasted_iota(jnp.int32, (winx * C, C), 1)
     M = (jc == cc).astype(jnp.bfloat16)
+    one = jnp.ones((1, 1), jnp.float32)
 
-    window_dma(i).wait()
-    # t1[i, uc] = sum_v RYT[v, i] * win[v, uc]  (contract dim0 x dim0)
-    t1 = jax.lax.dot_general(RYT.astype(jnp.bfloat16), win_ref[i % 2],
-                             (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # [N, winxC]
-    zero = jnp.zeros((), jnp.float32)
-    prod = (jnp.where((iu >= lo) & (iu < lo + C), t1 * w1, zero)
-            + jnp.where((iu >= lo + C) & (iu < lo + 2 * C), t1 * w2, zero))
-    # outT[c, i] = sum_uc M[uc, c] * prod[i, uc]
-    outT = jax.lax.dot_general(M, prod.astype(jnp.bfloat16),
-                               (((0,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # [C, N]
-    out_ref[0] = outT * okyr
+    for j in range(K):
+        rxr = coords_ref[j, 0:1, :]                        # [1, N]
+        ryr = coords_ref[j, 1:2, :]
+        # y side stays row-oriented: transposed one-hot RYT [WINY_G, N];
+        # weights stay f32 (bf16 weights amplify through the softmax-splat
+        # normalisation downstream) — values round to bf16 once, at the MXU
+        y0r = jnp.floor(ryr)
+        fyr = ryr - y0r
+        y0cr = jnp.clip(y0r, 0, WINY_G - 2).astype(jnp.int32)
+        RYT = ((ivT == y0cr).astype(jnp.float32) * (1.0 - fyr)
+               + (ivT == y0cr + 1).astype(jnp.float32) * fyr)
+        okyr = ((y0r >= 0) & (y0r <= WINY_G - 2)).astype(jnp.float32)
+
+        # x side needs column vectors: exact row->col transpose on the MXU
+        xcol = jax.lax.dot_general(rxr, one, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        window_dma(i, i % 2, j).wait()
+        # t1[p, uc] = sum_v RYT[v, p] * win[v, uc]  (contract dim0 x dim0)
+        t1 = jax.lax.dot_general(RYT.astype(jnp.bfloat16), win_ref[i % 2, j],
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))    # hat taps
+        # outT[c, p] = sum_uc M[uc, c] * (t1*w)[p, uc]
+        outT = jax.lax.dot_general(M, (t1 * w).astype(jnp.bfloat16),
+                                   (((0,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        out_ref[j] = outT * okyr
 
 
-def _gather_fast(img_pad2d, sx_t, sy_t, origins, n_tiles, C, winx):
+def _gather_fast(img_pad2d, rel_coords, origins, n_tiles, C, winx, K):
     N = TILE * TILE
-    coords = jnp.stack([sx_t, sy_t], axis=1)               # [ntiles, 2, N]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles // K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((1, 2, N), lambda i, o: (i, 0, 0)),
+            pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, C, N), lambda i, o: (i, 0, 0)),
+        out_specs=pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, WINY, winx * C), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, K, WINY_G, winx * C), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, K)),
         ],
     )
     out_t = pl.pallas_call(
-        functools.partial(_gather_kernel, C, winx),
+        functools.partial(_gather_kernel, C, winx, K),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, C, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(origins, img_pad2d, coords)
+    )(origins, img_pad2d, rel_coords)
     return jnp.moveaxis(out_t, 1, 2)                       # [ntiles, N, C]
 
 
@@ -291,20 +324,26 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray) -> jnp.ndarray
         return jnp.concatenate(
             [gather_at(img[..., i:i + CHUNK], sx, sy)
              for i in range(0, C, CHUNK)], axis=-1)
-    winx, qx = _win_x(C)
-    pady, padx = WINY, winx
+    cp, winx, qx = _win_geom(C)
+    if cp != C:
+        img = jnp.pad(img, ((0, 0), (0, 0), (0, cp - C)))
+    pady, padx = WINY_G, winx
     sx_t = _tile_flatten(sx, H, W)
     sy_t = _tile_flatten(sy, H, W)
-    oy, ox = _origins(sx_t, sy_t, H, W, winx, qx, pady, padx)
-    ok_t = _ok_mask(sx_t, sy_t, oy, ox, winx)
+    oy, ox = _origins(sx_t, sy_t, H, W, WINY_G, winx, qx, pady, padx)
+    ok_t = _ok_mask(sx_t, sy_t, oy, ox, WINY_G, winx)
     img_pad = jnp.pad(img, ((pady, pady), (padx, padx), (0, 0)))
     Hp, Wp = img_pad.shape[0], img_pad.shape[1]
     origins = jnp.stack([oy, ox], axis=1).reshape(-1)
     n_tiles = (H // TILE) * (W // TILE)
+    K = _pick_k(W // TILE)
+    rel = jnp.stack([sx_t - ox[:, None].astype(sx_t.dtype),
+                     sy_t - oy[:, None].astype(sy_t.dtype)], axis=1)
     out_t = _gather_fast(
-        img_pad.reshape(Hp, Wp * C).astype(jnp.bfloat16), sx_t, sy_t,
-        origins, n_tiles, C, winx)
-    out_t = _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C)
+        img_pad.reshape(Hp, Wp * cp).astype(jnp.bfloat16), rel,
+        origins, n_tiles, cp, winx, K)[..., :C]
+    out_t = _tile_gather_fix(img[..., :C], sx_t, sy_t, out_t, ok_t,
+                             n_tiles, C)
     return _tile_unflatten(out_t, H, W)
 
 
@@ -358,106 +397,147 @@ def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
 # splat (forward warp, summation mode)
 # ---------------------------------------------------------------------------
 
-def _splat_kernel(C, winx, origins_ref, acc_in, coords_ref, vals_ref,
-                  acc_out, win_ref, sem_in, sem_out):
-    """One source tile: window RMW accumulate. acc_in/acc_out are the SAME
-    HBM buffer (input_output_aliased); the sequential grid makes the
-    read-add-write race-free. Same 2-D layout discipline as the gather
-    kernel: coords rows [2, N] (tx, ty), values transposed [C, N].
+STRIPH = (SPLAT_M - 1) * TILE + TILE + WINY_S   # strip rows in VMEM (256)
+
+
+def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
+                  out_hbm, strip_ref, sem):
+    """Strip-accumulator splat: NO read-modify-write DMA at all.
+
+    Tiles stream row-major; a [STRIPH, Wp·C] f32 strip in VMEM covers canvas
+    rows [32r−OYR_S, 32r−OYR_S+STRIPH) while tile-row r is processed; every
+    tile adds its [WINY_S, winx·C] contribution at one of SPLAT_M
+    sublane-STATIC row offsets (predicated branches — a dynamic sublane
+    offset costs ~12µs/tile on Mosaic, measured) and a 128-aligned dynamic
+    lane offset. On row advance the TILE finalized rows flush to HBM as ONE
+    contiguous full-width write (the next row's windows start ≥ TILE lower,
+    so those rows can no longer change), the strip shifts down TILE rows
+    (forward-ordered chunked copy — reads stay ahead of writes), and the
+    fresh tail zeroes. The old per-window RMW serialized two strided DMAs
+    per tile; this writes each output byte exactly once.
     """
     i = pl.program_id(0)
-    oy = origins_ref[2 * i]
-    ox = origins_ref[2 * i + 1]
-    row = pl.multiple_of(oy + WINY, 8)
-    col = pl.multiple_of((ox + winx) * C, 128)
-    read = pltpu.make_async_copy(
-        acc_out.at[pl.ds(row, WINY), pl.ds(col, winx * C)],
-        win_ref, sem_in)
-    read.start()
-
+    n = pl.num_programs(0)
+    spr = tx // K                      # grid steps per tile-row
     N = coords_ref.shape[2]
-    txr = coords_ref[0, 0:1, :] - ox.astype(jnp.float32)   # [1, N]
-    tyr = coords_ref[0, 1:2, :] - oy.astype(jnp.float32)
+    wC = winx * C
 
-    y0r = jnp.floor(tyr)
-    fyr = tyr - y0r
-    okyr = ((y0r >= 0) & (y0r <= WINY - 2)).astype(jnp.float32)
-    y0cr = jnp.clip(y0r, 0, WINY - 2).astype(jnp.int32)
-    ivT = jax.lax.broadcasted_iota(jnp.int32, (WINY, N), 0)
-    RYT = ((ivT == y0cr).astype(jnp.float32) * (1.0 - fyr)
-           + (ivT == y0cr + 1).astype(jnp.float32) * fyr) * okyr
+    @pl.when(i == 0)
+    def _():
+        strip_ref[...] = jnp.zeros_like(strip_ref)
 
-    one = jnp.ones((1, 1), jnp.float32)
-    xcol = jax.lax.dot_general(txr, one, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)  # [N,1]
-    x0 = jnp.floor(xcol)
-    fx = xcol - x0
-    okx = ((x0 >= 0) & (x0 <= winx - 2)).astype(jnp.float32)
-    x0c = jnp.clip(x0, 0, winx - 2).astype(jnp.int32)
-    iu = jax.lax.broadcasted_iota(jnp.int32, (N, winx * C), 1) // C
-    CXe = ((iu == x0c).astype(jnp.float32) * (1.0 - fx)
-           + (iu == x0c + 1).astype(jnp.float32) * fx) * okx
+    @pl.when((i % spr == 0) & (i > 0))
+    def _():
+        r = i // spr
+        # rows [32(r-1)-TILE, 32r-TILE) are final → buffer row 32(r-1)
+        dst = pl.multiple_of((r - 1) * TILE, 8)
+        flush = pltpu.make_async_copy(
+            strip_ref.at[0:TILE], out_hbm.at[pl.ds(dst, TILE)], sem)
+        flush.start()
+        flush.wait()
+        for c in range((STRIPH - TILE) // TILE):
+            strip_ref[c * TILE:(c + 1) * TILE] = (
+                strip_ref[(c + 1) * TILE:(c + 2) * TILE])
+        strip_ref[STRIPH - TILE:STRIPH] = jnp.zeros(
+            (TILE, strip_ref.shape[1]), jnp.float32)
 
-    # vals [N, C] from transposed rows (exact 1-wide MXU contraction), then
-    # lane-tiled across the window: Ve[i, u*C+c] = vals[i, c]
+    ivT = jax.lax.broadcasted_iota(jnp.int32, (WINY_S, N), 0)
+    ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
+           // C).astype(jnp.float32)
     eyeC = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)).astype(
                 jnp.float32)
-    vals = jax.lax.dot_general(vals_ref[0], eyeC, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)  # [N, C]
-    Ve = pltpu.repeat(vals, winx, axis=1)
+    one = jnp.ones((1, 1), jnp.float32)
 
-    contrib = jnp.dot(RYT.astype(jnp.bfloat16),
-                      (CXe * Ve).astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-    read.wait()
-    win_ref[...] = win_ref[...] + contrib
-    write = pltpu.make_async_copy(
-        win_ref,
-        acc_out.at[pl.ds(row, WINY), pl.ds(col, winx * C)],
-        sem_out)
-    write.start()
-    write.wait()
+    # Ve via a tiny one-hot matmul: Ve[p, u*C+c] = vals[p, c].
+    # (pltpu.repeat lowers to winx sequential copies — measured ~11µs/tile,
+    # 4x the rest of the kernel combined; the MXU does it in one pass.)
+    rep = (jax.lax.broadcasted_iota(jnp.int32, (C, wC), 1) % C
+           == jax.lax.broadcasted_iota(jnp.int32, (C, wC), 0)).astype(
+               jnp.float32)
+
+    for j in range(K):
+        g = i * K + j
+        colC = pl.multiple_of(origins_ref[2 * g], 128)
+        m = origins_ref[2 * g + 1]                        # vertical branch
+        txr = coords_ref[j, 0:1, :]                       # window-relative
+        tyr = coords_ref[j, 1:2, :]
+        y0r = jnp.floor(tyr)
+        fyr = tyr - y0r
+        okyr = ((y0r >= 0) & (y0r <= WINY_S - 2)).astype(jnp.float32)
+        y0cr = jnp.clip(y0r, 0, WINY_S - 2).astype(jnp.int32)
+        RYT = ((ivT == y0cr).astype(jnp.float32) * (1.0 - fyr)
+               + (ivT == y0cr + 1).astype(jnp.float32) * fyr) * okyr
+
+        xcol = jax.lax.dot_general(txr, one, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        # hat taps; out-of-window sources are zeroed wholesale on the XLA
+        # side (tile_ok masking of vals) and re-added exactly by the fixup
+        CXe = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))
+        okx = ((xcol >= 0) & (xcol <= winx - 2)).astype(jnp.float32)
+        CXe = CXe * okx
+
+        # vals [N, C] from transposed rows (exact 1-wide MXU contraction)
+        vals = jax.lax.dot_general(vals_ref[j], eyeC,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        Ve = jax.lax.dot_general(vals, rep, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+        contrib = jnp.dot(RYT.astype(jnp.bfloat16),
+                          (CXe * Ve).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        for mk in range(SPLAT_M):
+            @pl.when(m == mk)
+            def _(mk=mk, contrib=contrib, colC=colC):
+                lo = mk * TILE
+                strip_ref[lo:lo + WINY_S, pl.ds(colC, wC)] = (
+                    strip_ref[lo:lo + WINY_S, pl.ds(colC, wC)] + contrib)
+
+    @pl.when(i == n - 1)
+    def _():
+        dst = pl.multiple_of((ty - 1) * TILE, 8)
+        flush = pltpu.make_async_copy(
+            strip_ref, out_hbm.at[pl.ds(dst, STRIPH)], sem)
+        flush.start()
+        flush.wait()
 
 
-def _splat_fast(vals_t, tx_t, ty_t, origins, H, W, C, winx):
+def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K):
+    """Output buffer rows map canvas rows [−OYR_S, H+STRIPH−TILE−OYR_S) →
+    [0, H+STRIPH−TILE); image rows = buffer [OYR_S, OYR_S+H)."""
     N = TILE * TILE
-    n_tiles = (H // TILE) * (W // TILE)
-    pady, padx = WINY, winx
-    Hp, WpC = H + 2 * pady, (W + 2 * padx) * C
-    acc0 = jnp.zeros((Hp, WpC), jnp.float32)
-    coords = jnp.stack([tx_t, ty_t], axis=1)               # [ntiles, 2, N]
-    valsT = jnp.moveaxis(vals_t, 1, 2)                     # [ntiles, C, N]
+    ty, tx = H // TILE, W // TILE
+    n_tiles = ty * tx
+    padx = winx
+    WpC = (W + 2 * padx) * C
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_tiles // K,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),    # accumulator
-            pl.BlockSpec((1, 2, N), lambda i, o: (i, 0, 0)),     # coords
-            pl.BlockSpec((1, C, N), lambda i, o: (i, 0, 0)),     # values^T
+            pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)),     # coords
+            pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)),     # values^T
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((WINY, winx * C), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((STRIPH, WpC), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_splat_kernel, C, winx),
+        functools.partial(_splat_kernel, C, winx, K, tx, ty),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Hp, WpC), jnp.float32),
-        input_output_aliases={1: 0},     # acc0 (arg after scalar) -> output
+        out_shape=jax.ShapeDtypeStruct((H + STRIPH - TILE, WpC), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(origins, acc0, coords, valsT)
-    acc = acc.reshape(Hp, W + 2 * padx, C)
-    return acc[pady:pady + H, padx:padx + W]
+    )(origins, rel_coords, valsT)
+    acc = acc.reshape(H + STRIPH - TILE, W + 2 * padx, C)
+    return acc[OYR_S:OYR_S + H, padx:padx + W]
 
 
 SPLAT_SPILL_TIERS = (32, 256)   # exact-refix capacities (source tiles)
@@ -564,21 +644,33 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray
         ys = jnp.arange(H, dtype=ty.dtype)
         flow = jnp.stack([tx - xs[None, :], ty - ys[:, None]], -1)
         return splat_sum(vals[None], flow[None])[0]
-    winx, qx = _win_x(C)
-    pady, padx = WINY, winx
+    if C > CHUNK:
+        outs = [splat_at(vals[..., i:i + CHUNK], tx, ty)
+                for i in range(0, C, CHUNK)]
+        return jnp.concatenate(outs, axis=-1)
+    cp, winx, qx = _win_geom(C)
+    K = _pick_k(W // TILE)
+    if cp != C:
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, cp - C)))
+    padx = winx
+    txn = W // TILE
     tx_t = _tile_flatten(tx, H, W)
     ty_t = _tile_flatten(ty, H, W)
     vals_t = _tile_flatten(vals, H, W)
-    oy, ox = _origins(tx_t, ty_t, H, W, winx, qx, pady, padx)
-    ok_t = _ok_mask(tx_t, ty_t, oy, ox, winx)
+    oy, ox, m = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
+    ok_t = _ok_mask(tx_t, ty_t, oy, ox, WINY_S, winx)
     n_tiles = ok_t.shape[0]
     # tiles with any spilled source are zeroed wholesale in the fast kernel
     # and re-added exactly by the tile fixup
     tile_ok = jnp.all(ok_t, axis=1)
     vals_masked = vals_t * tile_ok[:, None, None].astype(vals_t.dtype)
-    origins = jnp.stack([oy, ox], axis=1).reshape(-1)
-    out = _splat_fast(vals_masked, tx_t, ty_t, origins, H, W, C, winx)
-    return _tile_splat_fix(out, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C)
+    origins = jnp.stack([(ox + padx) * cp, m], axis=1).reshape(-1)
+    rel = jnp.stack([tx_t - ox[:, None].astype(tx_t.dtype),
+                     ty_t - oy[:, None].astype(ty_t.dtype)], axis=1)
+    valsT = jnp.moveaxis(vals_masked, 1, 2)               # [ntiles, C, N]
+    out = _splat_fast(valsT, rel, origins, H, W, cp, winx, K)[..., :C]
+    return _tile_splat_fix(out, vals_t[..., :C], tx_t, ty_t, ok_t,
+                           n_tiles, H, W, C)
 
 
 def softsplat_fast(img: jnp.ndarray, flow: jnp.ndarray,

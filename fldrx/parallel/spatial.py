@@ -1,23 +1,40 @@
 """Spatially-sharded evaluation — multi-chip 4K inference (SURVEY.md §2.9).
 
 The level-0 synthesis at 4K is the memory/compute peak; sharding the image
-width over the 'sp' mesh axis splits it across chips. XLA's SPMD partitioner
-inserts halo exchanges for the convs and all-reduces for the global PCA
-min/max (block_pca's jnp.min/max reduce over the whole tensor, so sharded and
-unsharded results agree exactly).
+width over the 'sp' mesh axis splits it across chips.
 
-Note: this path uses the exact XLA warp ops (cfg.fast_warp=False) — Pallas
-custom calls do not auto-partition under SPMD; a sharded warp engine with
-explicit halo DMA is future work (shard_map + per-shard kernels).
+Two paths:
+
+* `make_sharded_eval` — pjit/SPMD with the exact XLA warp ops
+  (cfg.fast_warp=False): XLA's partitioner inserts halo exchanges for convs
+  and all-reduces for the global PCA min/max automatically. Strict parity,
+  but the warps run the slow scalarized route.
+
+* `make_sharded_fast_eval` — shard_map level-0 synthesis keeping the Pallas
+  warp engine: each device halo-exchanges `halo` columns of the full-res
+  field pack with its 'sp' neighbours (jax.lax.ppermute; the ring's missing
+  edges zero-fill, which matches the warps' zero-padding semantics), runs
+  the per-shard fast kernels + the s2d refine UNet on the extended slab,
+  and keeps the exact center (overlap-and-discard: the UNet apron and all
+  warp reach within `halo` are computed redundantly at slab edges).
+  Exactness bound: flows up to halo−TILE px are handled exactly; larger
+  displacements land outside the slab and resolve to the zero-fill (the
+  evaluator's exact path or t-parallel DP covers pathological motion).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax.experimental.shard_map import shard_map
+except ImportError:                                    # newer jax
+    from jax import shard_map
 
 from ..config import FLDRConfig
 from ..eval.pipeline import build_pyramid
@@ -56,3 +73,195 @@ def make_sharded_eval(params, cfg: FLDRConfig, mesh: Mesh):
         return jitted(pr, fr, tt)
 
     return call
+
+
+# ---------------------------------------------------------------------------
+# shard_map fast path: per-shard Pallas warps with explicit halo exchange
+# ---------------------------------------------------------------------------
+
+def _exchange_halo_w(x: jnp.ndarray, halo: int, axis_name: str = "sp"):
+    """[.., W_local, C] → [.., W_local + 2·halo, C]: receive the left
+    neighbour's rightmost and right neighbour's leftmost `halo` columns.
+    Edge devices zero-fill (ppermute drops unpaired links), matching the
+    zero-padding semantics of bwarp/softsplat beyond the frame."""
+    n = jax.lax.psum(1, axis_name)
+    right = [(i, i + 1) for i in range(n - 1)]
+    left = [(i + 1, i) for i in range(n - 1)]
+    from_left = jax.lax.ppermute(x[..., -halo:, :], axis_name, right)
+    from_right = jax.lax.ppermute(x[..., :halo, :], axis_name, left)
+    return jnp.concatenate([from_left, x, from_right], axis=-2)
+
+
+def _bwarp_global(x_slab: jnp.ndarray, flow_slab: jnp.ndarray,
+                  Wg: int, x_off) -> jnp.ndarray:
+    """bwarp on a width slab with the GLOBAL image's p·S/(S−1)−0.5 sampling
+    convention (fLDRnet.py:546-581 uses S = full W/H, so slab-local bwarp
+    would shift sub-pixel coordinates). x_slab: [B, H, Ws, C]; flow_slab:
+    [B, H, Ws, 2]; x_off: global column of the slab's first column (traced).
+    """
+    from ..ops.fastwarp import gather_at
+
+    B, H, Ws, C = x_slab.shape
+    xs = jnp.arange(Ws, dtype=jnp.float32) + x_off      # global columns
+    ys = jnp.arange(H, dtype=jnp.float32)
+    outs = []
+    for b in range(B):
+        gx = xs[None, :] + flow_slab[b, ..., 0]
+        gy = ys[:, None] + flow_slab[b, ..., 1]
+        sx_g = gx * (Wg / max(Wg - 1, 1)) - 0.5          # global sample col
+        sy = gy * (H / max(H - 1, 1)) - 0.5
+        sx = sx_g - x_off                                # slab-local
+        out = gather_at(x_slab[b], sx, sy)
+        # analytic ones-mask with GLOBAL frame bounds (ops/fastwarp.py:334)
+        x0g = jnp.floor(sx_g)
+        y0 = jnp.floor(sy)
+        fx = sx_g - x0g
+        fy = sy - y0
+
+        def valid(xi, yi):
+            return ((xi >= 0) & (xi < Wg) & (yi >= 0) & (yi < H)).astype(
+                jnp.float32)
+
+        x0i = x0g.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
+                + valid(x0i + 1, y0i) * fx * (1 - fy)
+                + valid(x0i, y0i + 1) * (1 - fx) * fy
+                + valid(x0i + 1, y0i + 1) * fx * fy)
+        mask = (ones >= 0.999).astype(jnp.float32)
+        outs.append(out * mask[..., None])
+    return jnp.stack(outs, 0)
+
+
+def _field_pack(params, cfg: FLDRConfig, flow, frames, t):
+    """All full-res per-t fields the level-0 synthesis needs, as one
+    [B, H, W, 16] tensor: x0(3) x1(3) flow_t0(2) flow_t1(2) z0 z1 fb0(2)
+    fb1(2). Pure XLA (resizes + low-res flowback composition + z metrics),
+    so it shards over 'sp' under the SPMD partitioner."""
+    from ..model.fldrnet import z_metrics
+    from ..ops.resize import resize_2d
+    from ..ops.warp import bwarp as bw_exact
+
+    B = flow.shape[0]
+    tb = t.reshape(B, 1, 1, 1).astype(jnp.float32)
+    H, W = frames.shape[2], frames.shape[3]
+    upscale = H // flow.shape[1]
+
+    def up(f):
+        return upscale * resize_2d(f, (H, W), "bilinear")
+
+    flow = flow.astype(jnp.float32)
+    x0 = frames[:, 0].astype(jnp.float32)
+    x1 = frames[:, 1].astype(jnp.float32)
+    flow_10 = up(flow[..., 0:2])
+    flow_01 = up(flow[..., 2:4])
+    flow_t0 = tb * flow_01
+    flow_t1 = (1.0 - tb) * flow_10
+    z0, z1 = z_metrics(params["vfinet"], x0, x1, flow_10, flow_01, fast=False)
+    fb0 = up(bw_exact(flow[..., 0:2] * tb, (1.0 - tb) * flow[..., 2:4]))
+    fb1 = up(bw_exact(flow[..., 2:4] * (1.0 - tb), tb * flow[..., 0:2]))
+    return jnp.concatenate(
+        [x0, x1, flow_t0, flow_t1, z0, z1, fb0, fb1], axis=-1)
+
+
+def _synth_local(params, cfg: FLDRConfig, Wg: int, halo: int,
+                 pack_local, t):
+    """Per-shard level-0 synthesis on the halo-extended slab; returns the
+    center crop. Runs inside shard_map — every op here is device-local."""
+    from ..model.fldrnet import refine_unet, refine_unet_s2d
+    from ..ops.splat import softsplat
+    from ..ops.fastwarp import splat_sum_fast
+
+    ext = _exchange_halo_w(pack_local, halo)
+    B = ext.shape[0]
+    Wl = pack_local.shape[2]
+    idx = jax.lax.axis_index("sp")
+    x_off = idx * Wl - halo                     # global col of slab col 0
+    x0, x1 = ext[..., 0:3], ext[..., 3:6]
+    flow_t0, flow_t1 = ext[..., 6:8], ext[..., 8:10]
+    z0, z1 = ext[..., 10:11], ext[..., 11:12]
+    fb0, fb1 = ext[..., 12:14], ext[..., 14:16]
+
+    # splats are translation-invariant: local coords = local pos + flow
+    warped0 = softsplat(x0, flow_t0, z=z0, splat_fn=splat_sum_fast)
+    warped1 = softsplat(x1, flow_t1, z=z1, splat_fn=splat_sum_fast)
+    # gathers carry the global p·S/(S−1)−0.5 convention
+    im0_tot = _bwarp_global(x0, fb0, Wg, x_off)
+    im1_tot = _bwarp_global(x1, fb1, Wg, x_off)
+
+    vp = params["vfinet"]
+    refine_in = jnp.concatenate(
+        [x0, x1, warped0, warped1, flow_t0, flow_t1, fb0, fb1,
+         im0_tot, im1_tot], -1)
+    unet = (refine_unet_s2d
+            if refine_in.shape[1] % 4 == 0 and refine_in.shape[2] % 4 == 0
+            else refine_unet)
+    out = unet(vp["refine"], refine_in).astype(jnp.float32)
+
+    tb = t.reshape(B, 1, 1, 1).astype(jnp.float32)
+    T = vp["T_param"].astype(out.dtype)
+    occ = jax.nn.softmax(out[..., :6] / T, axis=-1)
+    w0 = (1 - tb) * occ[..., 0:1]
+    w1 = tb * occ[..., 1:2]
+    w2 = (1 - tb) * occ[..., 2:3]
+    w3 = tb * occ[..., 3:4]
+    w4 = (1 - tb) * occ[..., 4:5]
+    w5 = tb * occ[..., 5:6]
+    divisor = w0 + w1 + w2 + w3 + w4 + w5
+    out_l = (w0 * warped0 + w1 * warped1 + w2 * im0_tot + w3 * im1_tot
+             + w4 * x0 + w5 * x1) / divisor
+    return out_l[:, :, halo:halo + Wl]
+
+
+def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
+                           halo: int = 256):
+    """Width-sharded multi-chip eval KEEPING the Pallas warp engine.
+
+    Flow estimation runs replicated (it is 64x smaller than synthesis);
+    the full-res field pack shards over 'sp' via the SPMD partitioner; the
+    level-0 synthesis runs under shard_map with explicit halo exchange.
+    Returns fn(frames [B,2,H,W,3], t [B,1]) → [B, H, W, 3]."""
+    from ..model.fldrnet import forward_flow
+
+    nsp = mesh.shape["sp"]
+    assert halo % TILE_ALIGN == 0
+
+    def fn(params, frames, t):
+        ph = pad_amount(frames.shape[2], cfg.div_pad)
+        pw = pad_amount(frames.shape[3], cfg.div_pad)
+        if ph or pw:
+            frames = jnp.pad(
+                frames, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
+                mode="reflect" if cfg.padding == "reflect" else "constant")
+        H, W = frames.shape[2], frames.shape[3]
+        assert W % (nsp * TILE_ALIGN) == 0, (W, nsp)
+        pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
+        flow = forward_flow(params, cfg.replace(fast_warp=False), pyr)
+        pack = _field_pack(params, cfg, flow, frames, t)
+        pack = jax.lax.with_sharding_constraint(
+            pack, NamedSharding(mesh, P(None, None, "sp", None)))
+        synth = shard_map(
+            functools.partial(_synth_local, params, cfg, W, halo),
+            mesh=mesh,
+            in_specs=(P(None, None, "sp", None), P()),
+            out_specs=P(None, None, "sp", None),
+            check_rep=False,
+        )
+        return synth(pack, t)
+
+    jitted = jax.jit(fn)
+
+    def call(frames, t):
+        H, W = frames.shape[2], frames.shape[3]
+        fr = jax.device_put(
+            jnp.asarray(frames, jnp.float32),
+            NamedSharding(mesh, P(None, None, None, "sp", None)))
+        tt = jax.device_put(jnp.asarray(t, jnp.float32).reshape(-1, 1),
+                            NamedSharding(mesh, P()))
+        pr = jax.device_put(params, NamedSharding(mesh, P()))
+        return jitted(pr, fr, tt)[:, :H, :W]
+
+    return call
+
+
+TILE_ALIGN = 32

@@ -64,7 +64,9 @@ def test_forward_parity_with_checkpoint(t_val):
     t = np.full((B, 1), t_val, np.float32)
 
     ref = oracle_forward_test(sd_t, pyr_t, t, cfg.S_tst)
-    got = forward_test(params, cfg, pyr_j, jnp.asarray(t))
+    # strict-parity path: fast_warp=False (exact XLA warps, full-res flowback)
+    got = forward_test(params, cfg.replace(fast_warp=False), pyr_j,
+                       jnp.asarray(t))
     got_nchw = np.moveaxis(np.asarray(got), -1, 1)
 
     assert got_nchw.shape == ref.shape
@@ -72,6 +74,13 @@ def test_forward_parity_with_checkpoint(t_val):
     # f32-vs-f64 PCA + conv accumulation-order tolerance; outputs are in [-1,1]
     assert diff.max() < 5e-3, f"max diff {diff.max()}"
     assert diff.mean() < 5e-4, f"mean diff {diff.mean()}"
+
+    # fast path (low-res flowback composition; exact-op fallbacks on CPU):
+    # bounded drift vs the oracle — full PSNR deltas recorded in PARITY.md
+    got_fast = forward_test(params, cfg, pyr_j, jnp.asarray(t))
+    dfast = np.abs(np.moveaxis(np.asarray(got_fast), -1, 1) - ref)
+    assert dfast.max() < 5e-2, f"fast-path max diff {dfast.max()}"
+    assert dfast.mean() < 2e-3, f"fast-path mean diff {dfast.mean()}"
 
 
 @needs_ckpt
