@@ -64,7 +64,10 @@ def main():
     multiple = int(os.environ.get("FLDRX_BENCH_MULTIPLE", "8"))
     t_values = np.linspace(1 / multiple, 1 - 1 / multiple, multiple - 1)
 
-    mode = os.environ.get("FLDRX_BENCH_MODE", "multi")
+    # "multi" batches all 7 t-values into one program — currently exceeds
+    # HBM at 4K (the side-effecting warp kernels pin their buffers), so the
+    # default synthesizes per t
+    mode = os.environ.get("FLDRX_BENCH_MODE", "single")
 
     def measure():
         flow, padded, extras = interp.precompute_flow(frames_j)

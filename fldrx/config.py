@@ -32,6 +32,11 @@ class FLDRConfig:
     # (useful.py:163-190; switches that only gate dead branches are dropped)
     mean_vector_norm: bool = True     # divide PCA comps by mean |comp| vector
     ref_feat_extrac: bool = True      # rec_ctx_ds residual feature conv
+    # ExacOneEV (papermodel): the scale-8 EV/Mean/meanVec are shared across
+    # every pyramid level (fLDRnet.py:136,146). False consumes the per-scale
+    # EV16/32/64 params the checkpoint carries (pick_pca non-simpleEVs
+    # branch, fLDRnet.py:225-278), falling back to scale-8 beyond scale 64.
+    exac_one_ev: bool = True
     sminterp: bool = True             # softmax 6-way candidate blend w/ T_param
     impmasksoftsplat: bool = True     # learned z importance metric for splatting
     align_corners: bool = False       # align_cornerse flag: always False in shipped cfg

@@ -248,6 +248,34 @@ def level_flow(p: Params, feat: jnp.ndarray,
 # synthesis (fLDRnet.py:400-543)
 # ---------------------------------------------------------------------------
 
+def _bwarp_ones_mask(flow: jnp.ndarray) -> jnp.ndarray:
+    """bwarp's 0.999 validity mask (fLDRnet.py:568-580), computed
+    analytically from the sampling coordinates — no gather needed (the
+    sampled all-ones image equals the sum of in-frame corner weights).
+    flow: [B, H, W, 2] → mask [B, H, W, 1]."""
+    B, H, W, _ = flow.shape
+    xs = jnp.arange(W, dtype=flow.dtype)
+    ys = jnp.arange(H, dtype=flow.dtype)
+    sx = (xs[None, None, :] + flow[..., 0]) * (W / max(W - 1, 1)) - 0.5
+    sy = (ys[None, :, None] + flow[..., 1]) * (H / max(H - 1, 1)) - 0.5
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    def valid(xi, yi):
+        return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(
+            flow.dtype)
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
+            + valid(x0i + 1, y0i) * fx * (1 - fy)
+            + valid(x0i, y0i + 1) * (1 - fx) * fy
+            + valid(x0i + 1, y0i + 1) * fx * fy)
+    return (ones >= 0.999).astype(flow.dtype)[..., None]
+
+
 def z_metrics(p: Params, x0, x1, flow_10, flow_01, fast: bool = False):
     """Softsplat importance metrics z0/z1 (fLDRnet.py:439-446) — t-independent,
     so the multi-t path hoists them out of the per-t synthesis."""
@@ -309,21 +337,33 @@ def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     warped0 = ssplat(x0, flow_t0, z=z0)
     warped1 = ssplat(x1, flow_t1, z=z1)
 
-    # backward-warp candidates via flow composition (:474-479)
-    if fast:
+    # backward-warp candidates via flow composition (:474-479).
+    # The low-res composition needs the flow grid to be large relative to
+    # the fields' variation (at 4K it is 288x512); tiny grids fall back to
+    # the full-res composition so toy-scale parity stays tight.
+    if fast and min(flow_l.shape[1], flow_l.shape[2]) >= 96:
         # fast path: compose the (everywhere 8x-bilinear-upsampled, hence
         # smooth) flow fields at the feature grid and upsample the result —
         # commutes with the full-res composition up to second-order terms;
         # measured PSNR impact recorded in PARITY.md. Kills two full-res
-        # gathers per t-value. Composition itself also uses the fast kernel
-        # (the exact XLA gather is scalarized — ~75ms even at 288x512).
-        fb0 = bw(flow_l[..., 0:2] * tb, (1.0 - tb) * flow_l[..., 2:4])
-        fb1 = bw(flow_l[..., 2:4] * (1.0 - tb), tb * flow_l[..., 0:2])
+        # gathers per t-value. The bwarp validity mask is applied at FULL
+        # resolution (analytic corner test, no gather) — a low-res mask
+        # would zero an 8-px-wide border band.
+        fb0 = bw(flow_l[..., 0:2] * tb, (1.0 - tb) * flow_l[..., 2:4],
+                 False)
+        fb1 = bw(flow_l[..., 2:4] * (1.0 - tb), tb * flow_l[..., 0:2],
+                 False)
         flowback_0 = up(fb0)
         flowback_1 = up(fb1)
+        m0 = _bwarp_ones_mask((1.0 - tb) * flow_01)
+        m1 = _bwarp_ones_mask(tb * flow_10)
         if crop_hw is not None:
             flowback_0 = flowback_0[:, :crop_hw[0], :crop_hw[1]]
             flowback_1 = flowback_1[:, :crop_hw[0], :crop_hw[1]]
+            m0 = m0[:, :crop_hw[0], :crop_hw[1]]
+            m1 = m1[:, :crop_hw[0], :crop_hw[1]]
+        flowback_0 = flowback_0 * m0
+        flowback_1 = flowback_1 * m1
     else:
         flowback_0 = bw(flow_10 * tb, (1.0 - tb) * flow_01)
         flowback_1 = bw(flow_01 * (1.0 - tb), tb * flow_10)
@@ -368,9 +408,15 @@ def extract_features(params: Params, cfg: FLDRConfig,
     With the papermodel's ExacOneEV+allImUp the scale-8 EV/Mean/meanVec are
     shared across all levels (fLDRnet.py:136,146).
     """
-    pca = params["pca"]
     feats = []
     for i in range(n_levels):
+        pca = params["pca"]
+        if not cfg.exac_one_ev:
+            # per-scale EVs (pick_pca non-simpleEVs branch); extra test
+            # scales beyond the trained set reuse the scale-8 params, like
+            # the reference's moreTstSc param extension (main.py:393-399)
+            key = f"s{cfg.scales[i]}"
+            pca = params.get("pca_multi", {}).get(key, pca)
         f = block_pca_features(
             pyramid[i], pca["mean"], pca["ev"], pca["mean_vec"],
             wiS=cfg.wiS, compute_dtype=jnp.float32,
@@ -537,12 +583,22 @@ def init_params(key, cfg: FLDRConfig, dtype=jnp.float32) -> Params:
         "dec2": _conv_init(next(keys), 3, 3, 3 * u, u, dtype),
         "dec3": _conv_init(next(keys), 3, 3, u, cfg.unet_out, dtype),
     }
-    return {
-        "pca": {
+    def pca_placeholder():
+        return {
             "mean": jnp.zeros((cfg.wiS ** 2,), dtype),
             "ev": jnp.eye(dnf, cfg.wiS ** 2, dtype=dtype),
             "mean_vec": jnp.ones((dnf,), dtype),
-        },
+        }
+
+    pca_extra = {}
+    if not cfg.exac_one_ev:
+        # per-scale PCA slots (filled by the first-batch fit or pick_pca);
+        # pre-created so the optimizer state's treedef stays stable
+        pca_extra["pca_multi"] = {
+            f"s{s}": pca_placeholder() for s in cfg.scales[:4]}
+    return {
+        "pca": pca_placeholder(),
+        **pca_extra,
         "rec_ctx": {
             "conv0": _conv_init(next(keys), 3, 3, dnf * 6, dnf * 6, dtype),
             "conv1": _conv_init(next(keys), 3, 3, dnf * 6, dnf * 6, dtype),

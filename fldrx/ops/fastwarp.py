@@ -53,8 +53,10 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = bool(os.environ.get("FLDRX_PALLAS_INTERPRET"))
 
 TILE = 32                  # tile side → N = 1024 rows for the MXU
-WINY_G = 64                # gather window rows (8-quantized adaptive origin
-                           # → guaranteed y-halo ±12; spills → exact fixup)
+WINY_G = 128               # gather window rows (8-quantized adaptive origin
+                           # → guaranteed y-halo ±44; the marginal MXU cost
+                           # of 128 vs 64 rows is ~15% while every spilled
+                           # tile costs ~0.1µs/px in the exact fixup tiers)
 WINY_S = 96                # splat window rows (coarse-adaptive strip origin
                            # → vertical reach ±(OYR_S−TILE); spills → fixup)
 CHUNK = 8                  # max channels per kernel call (VMEM budget)
@@ -72,14 +74,20 @@ def _pick_k(tx: int) -> int:
     return 1
 
 
-def _win_geom(C: int):
+def _win_geom(C: int, wide: bool = True):
     """(C_padded, winx, qx): channels are padded to 4 or 8 so the column
     quantum qx = 128/C stays small (a 3-channel window would need 128-px
-    column quantization); winx gives a guaranteed x-halo of ±32 after the
-    ±qx/2 quantization drift, with winx·C a multiple of the 128-lane tile."""
+    column quantization); winx·C is a multiple of the 128-lane tile. The
+    wide geometry (gather) buys x-halo ±48 — every spilled tile costs
+    ~0.1µs/px in the exact fixup tiers, so windows are sized for real 4K
+    motion; the splat keeps ±32 (its vertical reach comes from the strip's
+    coarse-adaptive origins and its spill rate is far lower, measured)."""
     cp = 4 if C <= 4 else 8
     qx = 128 // math.gcd(cp, 128)          # 32 or 16
-    winx = 128 if cp == 4 else 112
+    if wide:
+        winx = 160 if cp == 4 else 144     # x-halo ±48 after quantization
+    else:
+        winx = 128 if cp == 4 else 112     # x-halo ±32
     assert (winx * cp) % 128 == 0 and winx % qx == 0
     return cp, winx, qx
 
@@ -267,6 +275,9 @@ def _sample_coords(flow: jnp.ndarray, H: int, W: int):
 
 
 GATHER_SPILL_TIERS = (32, 512)   # exact-refix capacities (tiles), then full
+                                 # (each chosen tier costs ~0.1µs/px of
+                                 # exact XLA gather — caps sized to typical
+                                 # motion-boundary spill counts)
 
 
 def _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C):
@@ -540,7 +551,10 @@ def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K):
     return acc[OYR_S:OYR_S + H, padx:padx + W]
 
 
-SPLAT_SPILL_TIERS = (32, 256)   # exact-refix capacities (source tiles)
+SPLAT_SPILL_TIERS = (8, 64, 512)   # exact-refix capacities (source tiles);
+                                   # first tier tiny: real-content splat
+                                   # spills are ~8 tiles (measured 4K) and
+                                   # each cap costs ~0.1µs/px when chosen
 
 
 def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C):
@@ -591,12 +605,16 @@ def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C):
         flow = jnp.stack([tx - xs[None, :], ty - ys[:, None]], -1)
         return splat_sum(vals[None], flow[None])[0]
 
-    t1, t2 = SPLAT_SPILL_TIERS
+    t1, t2, t3 = SPLAT_SPILL_TIERS
     return jax.lax.cond(
         n_bad == 0, lambda o: o,
         lambda o: jax.lax.cond(
             n_bad <= t1, fix_with_cap(t1),
-            lambda oo: jax.lax.cond(n_bad <= t2, fix_with_cap(t2), full, oo),
+            lambda o2: jax.lax.cond(
+                n_bad <= t2, fix_with_cap(t2),
+                lambda o3: jax.lax.cond(
+                    n_bad <= t3, fix_with_cap(t3), full, o3),
+                o2),
             o),
         out_fast)
 
@@ -648,7 +666,7 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray
         outs = [splat_at(vals[..., i:i + CHUNK], tx, ty)
                 for i in range(0, C, CHUNK)]
         return jnp.concatenate(outs, axis=-1)
-    cp, winx, qx = _win_geom(C)
+    cp, winx, qx = _win_geom(C, wide=False)
     K = _pick_k(W // TILE)
     if cp != C:
         vals = jnp.pad(vals, ((0, 0), (0, 0), (0, cp - C)))

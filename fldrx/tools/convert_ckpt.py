@@ -101,7 +101,17 @@ def state_dict_to_params(sd, dtype=np.float32):
             },
         },
     }
-    # keep the per-scale EV variants for completeness (oneEV uses scale-8 only)
+    # per-scale EV variants (pick_pca non-simpleEVs surface): consumed by the
+    # model when cfg.exac_one_ev=False (fldrnet.extract_features); also kept
+    # flat in extras for tooling
+    p["pca_multi"] = {
+        f"s{s}": {
+            "mean": sd[f"Mean{s}"].astype(dtype),
+            "ev": sd[f"EV{s}"].astype(dtype),
+            "mean_vec": sd[f"meanVec{s}"].astype(dtype),
+        } for s in (8, 16, 32, 64)
+    }
+    p["pca_multi"]["s8"] = dict(p["pca"])
     extras = {}
     for s in (16, 32, 64):
         extras[f"EV{s}"] = sd[f"EV{s}"].astype(dtype)

@@ -32,16 +32,40 @@ from .trainer import TrainState, make_train_step
 
 
 def fit_pca_from_batch(frames: np.ndarray, cfg: FLDRConfig):
-    """once_preprocessed equivalent: fit block-PCA on the first sample's six
-    channel-images (main.py:556-557 uses input_frames[0] only)."""
-    sample = frames[0]                       # [2,H,W,C]
-    imgs = np.transpose(sample, (0, 3, 1, 2)).reshape(-1, *sample.shape[1:3])
-    st = fit_block_pca(imgs, cfg.dctvfi_nf, cfg.wiS)
-    return {
-        "mean": jnp.asarray(st.mean, jnp.float32),
-        "ev": jnp.asarray(st.eigenvectors, jnp.float32),
-        "mean_vec": jnp.asarray(st.mean_vec, jnp.float32),
-    }
+    """once_preprocessed equivalent: fit block-PCA on the FIRST TRAINING
+    BATCH's frames (main.py:409-441 passes the whole first batch through
+    to_pca; with the shipped ExacOneEV+allImUp preset only the scale-8 fit
+    is installed, fLDRnet.py:136,146)."""
+    imgs = np.transpose(frames, (0, 1, 4, 2, 3)).reshape(
+        -1, *frames.shape[2:4])
+
+    def fit(images):
+        st = fit_block_pca(images, cfg.dctvfi_nf, cfg.wiS)
+        return {
+            "mean": jnp.asarray(st.mean, jnp.float32),
+            "ev": jnp.asarray(st.eigenvectors, jnp.float32),
+            "mean_vec": jnp.asarray(st.mean_vec, jnp.float32),
+        }
+
+    pca8 = fit(imgs)
+    if cfg.exac_one_ev:
+        return {"pca": pca8}
+    # per-scale fits on allImUp-downscaled frames (main.py:424-434); scales
+    # too small for a block fall back to the scale-8 fit (keeps the param
+    # treedef identical to the init placeholders)
+    from ..ops.resize import resize_2d
+    multi = {"s8": pca8}
+    for s in cfg.scales[1:4]:
+        f = cfg.scales[0] / s
+        oh, ow = int(imgs.shape[1] * f), int(imgs.shape[2] * f)
+        if oh < cfg.wiS or ow < cfg.wiS:
+            multi[f"s{s}"] = pca8
+            continue
+        ds = np.asarray(resize_2d(
+            jnp.asarray(imgs[..., None], jnp.float32), (oh, ow),
+            "bicubic"))[..., 0]
+        multi[f"s{s}"] = fit(ds)
+    return {"pca": pca8, "pca_multi": multi}
 
 
 def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
@@ -109,7 +133,7 @@ def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
                 break
             if not pca_fitted:
                 state = state.replace(params={
-                    **state.params, "pca": fit_pca_from_batch(batch["frames"], cfg)})
+                    **state.params, **fit_pca_from_batch(batch["frames"], cfg)})
                 pca_fitted = True
             batch["epoch"] = np.float32(epoch)   # warping-loss annealing input
             state, m = step_fn(state, batch)

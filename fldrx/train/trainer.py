@@ -39,8 +39,8 @@ def param_labels(params, cfg: FLDRConfig):
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         if cfg.t_optimization:
             return "base" if keys[:2] == ["vfinet", "T_param"] else "frozen"
-        if keys[0] == "pca":
-            return "frozen" if keys[1] == "mean_vec" else "ev"
+        if keys[0] in ("pca", "pca_multi"):
+            return "frozen" if keys[-1] == "mean_vec" else "ev"
         return "base"
 
     return jax.tree_util.tree_map_with_path(label, params)

@@ -105,3 +105,59 @@ def test_fit_block_pca_reconstruction():
     st16 = fit_block_pca(imgs, 16)
     np.testing.assert_allclose(st16.eigenvectors @ st16.eigenvectors.T,
                                np.eye(16), atol=1e-10)
+
+
+def test_multi_scale_pca_machinery():
+    """exac_one_ev=False consumes per-scale PCA params (pick_pca
+    non-simpleEVs surface, fLDRnet.py:225-278): per-level features use the
+    level's own EV set and differ from the shared scale-8 path."""
+    import jax
+    from fldrx.config import papermodel
+    from fldrx.eval.pipeline import build_pyramid
+    from fldrx.model.fldrnet import extract_features, init_params
+
+    cfg = papermodel().replace(S_tst=1, exac_one_ev=False)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "pca_multi" in params and "s16" in params["pca_multi"]
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray((rng.rand(1, 2, 64, 64, 3) * 2 - 1).astype(np.float32))
+    pyr = build_pyramid(frames, cfg, 2)
+
+    # distinct s16 params -> level-1 features change, level-0 unchanged.
+    # (the perturbation must survive the global min-max normalisation: a
+    # uniform EV scale or mean shift cancels out — roll the components)
+    p2 = jax.tree.map(lambda x: x, params)
+    p2["pca_multi"]["s16"] = {
+        "mean": params["pca"]["mean"],
+        "ev": jnp.roll(params["pca"]["ev"], 1, axis=0),
+        "mean_vec": params["pca"]["mean_vec"],
+    }
+    f_a = extract_features(params, cfg, pyr, 2)
+    f_b = extract_features(p2, cfg, pyr, 2)
+    np.testing.assert_allclose(np.asarray(f_a[0]), np.asarray(f_b[0]),
+                               atol=1e-6)
+    assert np.abs(np.asarray(f_a[1]) - np.asarray(f_b[1])).max() > 1e-3
+
+    # one-EV config ignores pca_multi entirely
+    cfg1 = cfg.replace(exac_one_ev=True)
+    f_c = extract_features(params, cfg1, pyr, 2)
+    f_d = extract_features(p2, cfg1, pyr, 2)
+    np.testing.assert_allclose(np.asarray(f_c[1]), np.asarray(f_d[1]),
+                               atol=1e-6)
+
+
+def test_fit_pca_multi_from_batch():
+    from fldrx.config import papermodel
+    from fldrx.train.loop import fit_pca_from_batch
+
+    cfg = papermodel().replace(exac_one_ev=False)
+    rng = np.random.RandomState(1)
+    frames = (rng.rand(2, 2, 128, 128, 3) * 2 - 1).astype(np.float32)
+    out = fit_pca_from_batch(frames, cfg)
+    assert set(out) == {"pca", "pca_multi"}
+    assert set(out["pca_multi"]) == {"s8", "s16", "s32", "s64"}
+    for v in out["pca_multi"].values():
+        assert v["ev"].shape == (cfg.dctvfi_nf, cfg.wiS ** 2)
+    # one-EV: only the shared fit
+    out1 = fit_pca_from_batch(frames, papermodel())
+    assert set(out1) == {"pca"}
