@@ -82,6 +82,35 @@ def main():
         return float(jnp.sum(out))     # device fence: block_until_ready can
         # return early under relayed backends — force a scalar fetch
 
+    if os.environ.get("FLDRX_BENCH_SPILLS"):
+        # spill-tier visibility: how many 32x32 tiles of each warp call fall
+        # outside the fast kernels' windows (and hence pay the exact-fixup
+        # tiers) for THIS content (stderr; the JSON line stays clean)
+        from fldrx.ops import fastwarp as fw
+        flow, padded, extras = interp.precompute_flow(frames_j)
+        flow_10, flow_01 = extras[0], extras[1]
+        Hp, Wp = padded.shape[2], padded.shape[3]
+        n_tiles = (Hp // 32) * (Wp // 32)
+        for name, fl in (("splat_t0.5", 0.5 * flow_01),
+                         ("gather_fb0.5", 0.5 * flow_10)):
+            xs = jnp.arange(Wp, dtype=jnp.float32)
+            ys = jnp.arange(Hp, dtype=jnp.float32)
+            tx = fw._tile_flatten(xs[None, :] + fl[0, ..., 0], Hp, Wp)
+            ty = fw._tile_flatten(ys[:, None] + fl[0, ..., 1], Hp, Wp)
+            cp, winx, qx = fw._win_geom(4)
+            if name.startswith("splat"):
+                oy, ox = fw._origins_strip(tx, ty, Wp // 32, Wp, fw.WINY_S,
+                                           winx, qx, winx)
+                ok = fw._ok_mask(tx, ty, oy, ox, fw.STRIPH, winx)
+            else:
+                oy, ox = fw._origins(tx, ty, Hp, Wp, fw.WINY_G, winx, qx,
+                                     fw.WINY_G, winx)
+                ok = fw._ok_mask(tx, ty, oy, ox, fw.WINY_G, winx)
+            bad = int(jnp.sum(~jnp.all(ok, axis=1)))
+            print(f"# spills[{name}]: {bad}/{n_tiles} tiles "
+                  f"(tiers {fw.SPLAT_SPILL_TIERS if 'splat' in name else fw.GATHER_SPILL_TIERS})",
+                  file=sys.stderr)
+
     measure()                          # warm-up / compile
     iters = int(os.environ.get("FLDRX_BENCH_ITERS", "3"))
     t0 = time.perf_counter()

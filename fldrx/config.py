@@ -71,6 +71,8 @@ class FLDRConfig:
     # train-loop observability (main.py:679-690)
     save_images: bool = False         # dump pyramid grids every freq_display it
     freq_display: int = 100
+    use_orbax: bool = False           # async Orbax checkpointing instead of
+                                      # the synchronous npz SaveManager
 
     # --- eval / data ---
     multiple: int = 8

@@ -164,13 +164,18 @@ def _repack_conv_w(w: jnp.ndarray, pin: int, pout: int, stride: int,
 def _packed_conv(p: Params, x: jnp.ndarray, pin: int, pout: int,
                  stride: int, pad: int = 1) -> jnp.ndarray:
     w = _repack_conv_w(p["w"], pin, pout, stride, pad).astype(x.dtype)
-    b = jnp.tile(p["b"], pout * pout).astype(x.dtype)
+    b = jnp.tile(p["b"], pout * pout)
+    if x.dtype == jnp.bfloat16:
+        # Pallas pixel-rows conv: XLA's conv reaches ~2-5% MXU utilization
+        # at these shapes (measured); the 9-shifted-matmul kernel is ~5x
+        from ..ops.fastconv import conv3x3_pixrows
+        return conv3x3_pixrows(x, w, b)
     prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
     y = jax.lax.conv_general_dilated(
         x, w, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
-    return y + b
+    return y + b.astype(x.dtype)
 
 
 def refine_unet_s2d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -185,10 +190,17 @@ def refine_unet_s2d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     e2 = relu(_packed_conv(p["enc2"], e1, 2, 1, 2))   # plain quarter, 32ch
     e2p = s2d(e2, 2)                                  # s2d2(quarter), 128ch
     e3 = relu(_packed_conv(p["enc3"], e2p, 2, 1, 2))  # plain eighth, 64ch
-    d0 = relu(conv2d(p["dec0"], e3))                  # plain eighth, 64ch
+
+    def conv3(pp, a):
+        if a.dtype == jnp.bfloat16:
+            from ..ops.fastconv import conv3x3_pixrows
+            return conv3x3_pixrows(a, pp["w"].astype(a.dtype), pp["b"])
+        return conv2d(pp, a)
+
+    d0 = relu(conv3(p["dec0"], e3))                   # plain eighth, 64ch
     # upsample to quarter grid + skip concat (both plain at [H/4, W/4])
     u0 = jnp.concatenate([upsample_nearest2x(d0), e2], -1)   # 96ch quarter
-    d1 = relu(conv2d(p["dec1"], u0))                  # 32ch quarter
+    d1 = relu(conv3(p["dec1"], u0))                   # 32ch quarter
     # half grid, packed: nearest-upsample = repeat d1 per cell, interleaved
     # with the matching cell slice of the e1 skip (cell-major channel order)
     e1c = e1.shape[-1] // 4

@@ -126,28 +126,24 @@ def _origins(sx_t, sy_t, H, W, winy, winx, qx, pady, padx):
     return oy, ox
 
 
-SPLAT_M = 5                # number of coarse vertical window positions
-OYR_S = (SPLAT_M - 1) * TILE // 2 + TILE   # strip back-reach below 32r (96)
+OYR_S = 96                 # strip back-reach below the tile row (rows)
 
 
 def _origins_strip(sx_t, sy_t, tx, W, winy, winx, qx, padx):
-    """Per-tile window origins for the strip-accumulator splat. The window
-    row origin adapts to the tile's mean target row in COARSE TILE steps:
-    oy = 32r − OYR_S + 32m, m ∈ [0, SPLAT_M) — the strip add happens under
-    one of SPLAT_M sublane-STATIC predicated branches (a dynamic sublane
-    offset costs ~12µs/tile on Mosaic, measured). The x origin adapts per
-    tile freely (128-aligned lane offsets are cheap)."""
+    """Per-tile origins for the strip-accumulator splat. The y origin is the
+    STRIP BASE itself (32r − OYR_S): the vertical position of each target is
+    absorbed into the [STRIPH, N] one-hot (full continuous ±OYR_S reach), so
+    the strip add stays sublane-static (a dynamic sublane offset costs
+    ~12µs/tile on Mosaic, and predicated static branches cost ~2ms/launch
+    each — both measured). The x origin adapts per tile freely (128-aligned
+    lane offsets are cheap)."""
     n_tiles = sx_t.shape[0]
     cx = jnp.mean(sx_t, axis=1)
-    cy = jnp.mean(sy_t, axis=1)
     r32 = (jnp.arange(n_tiles, dtype=jnp.int32) // tx) * TILE
     ox = jnp.round((cx - winx / 2) / qx).astype(jnp.int32) * qx
     ox = jnp.clip(ox, -padx, ((W + padx - winx) // qx) * qx)
-    m = jnp.clip(jnp.round(
-        (cy - winy / 2 - (r32 - OYR_S).astype(cy.dtype)) / TILE
-    ).astype(jnp.int32), 0, SPLAT_M - 1)
-    oy = r32 - OYR_S + m * TILE
-    return oy, ox, m
+    oy = r32 - OYR_S
+    return oy, ox
 
 
 def _ok_mask(sx_t, sy_t, oy, ox, winy, winx):
@@ -408,7 +404,9 @@ def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
 # splat (forward warp, summation mode)
 # ---------------------------------------------------------------------------
 
-STRIPH = (SPLAT_M - 1) * TILE + TILE + WINY_S   # strip rows in VMEM (256)
+STRIPH = OYR_S + TILE + WINY_S   # strip rows in VMEM (224); while row r is
+                                 # processed it covers canvas rows
+                                 # [32r−OYR_S, 32r+TILE+WINY_S)
 
 
 def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
@@ -452,7 +450,7 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
         strip_ref[STRIPH - TILE:STRIPH] = jnp.zeros(
             (TILE, strip_ref.shape[1]), jnp.float32)
 
-    ivT = jax.lax.broadcasted_iota(jnp.int32, (WINY_S, N), 0)
+    ivT = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, N), 0)
     ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
            // C).astype(jnp.float32)
     eyeC = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
@@ -469,14 +467,15 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
 
     for j in range(K):
         g = i * K + j
-        colC = pl.multiple_of(origins_ref[2 * g], 128)
-        m = origins_ref[2 * g + 1]                        # vertical branch
-        txr = coords_ref[j, 0:1, :]                       # window-relative
+        colC = pl.multiple_of(origins_ref[g], 128)
+        txr = coords_ref[j, 0:1, :]                       # strip-relative
         tyr = coords_ref[j, 1:2, :]
+        # STRIP-wide one-hot: the target's vertical position is absorbed
+        # here (full ±OYR_S continuous reach, sublane-static strip add)
         y0r = jnp.floor(tyr)
         fyr = tyr - y0r
-        okyr = ((y0r >= 0) & (y0r <= WINY_S - 2)).astype(jnp.float32)
-        y0cr = jnp.clip(y0r, 0, WINY_S - 2).astype(jnp.int32)
+        okyr = ((y0r >= 0) & (y0r <= STRIPH - 2)).astype(jnp.float32)
+        y0cr = jnp.clip(y0r, 0, STRIPH - 2).astype(jnp.int32)
         RYT = ((ivT == y0cr).astype(jnp.float32) * (1.0 - fyr)
                + (ivT == y0cr + 1).astype(jnp.float32) * fyr) * okyr
 
@@ -500,12 +499,8 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
         contrib = jnp.dot(RYT.astype(jnp.bfloat16),
                           (CXe * Ve).astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
-        for mk in range(SPLAT_M):
-            @pl.when(m == mk)
-            def _(mk=mk, contrib=contrib, colC=colC):
-                lo = mk * TILE
-                strip_ref[lo:lo + WINY_S, pl.ds(colC, wC)] = (
-                    strip_ref[lo:lo + WINY_S, pl.ds(colC, wC)] + contrib)
+        strip_ref[:, pl.ds(colC, wC)] = (
+            strip_ref[:, pl.ds(colC, wC)] + contrib)
 
     @pl.when(i == n - 1)
     def _():
@@ -675,14 +670,14 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray
     tx_t = _tile_flatten(tx, H, W)
     ty_t = _tile_flatten(ty, H, W)
     vals_t = _tile_flatten(vals, H, W)
-    oy, ox, m = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
-    ok_t = _ok_mask(tx_t, ty_t, oy, ox, WINY_S, winx)
+    oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
+    ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
     n_tiles = ok_t.shape[0]
     # tiles with any spilled source are zeroed wholesale in the fast kernel
     # and re-added exactly by the tile fixup
     tile_ok = jnp.all(ok_t, axis=1)
     vals_masked = vals_t * tile_ok[:, None, None].astype(vals_t.dtype)
-    origins = jnp.stack([(ox + padx) * cp, m], axis=1).reshape(-1)
+    origins = (ox + padx) * cp            # strip lane offsets (128-aligned)
     rel = jnp.stack([tx_t - ox[:, None].astype(tx_t.dtype),
                      ty_t - oy[:, None].astype(ty_t.dtype)], axis=1)
     valsT = jnp.moveaxis(vals_masked, 1, 2)               # [ntiles, C, N]

@@ -72,7 +72,11 @@ def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
           continue_training: bool = False, seed: int = 0,
           no_validation: bool = False, verbose: bool = True):
     """Full training run. Returns (params, best_psnr)."""
-    SM = SaveManager(cfg)
+    if cfg.use_orbax:
+        from .checkpoint import OrbaxSaveManager
+        SM = OrbaxSaveManager(cfg)
+    else:
+        SM = SaveManager(cfg)
     SM.write_config()
     dataset = XTrain(cfg) if cfg.dataset == "X4K1000FPS" else VimeoTrain(cfg)
     if len(dataset) < cfg.batch_size:

@@ -1,0 +1,51 @@
+"""Pallas pixel-rows conv tests (interpret mode on CPU)."""
+
+import importlib
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _interpret_mode():
+    os.environ["FLDRX_PALLAS_INTERPRET"] = "1"
+    from fldrx.ops import fastconv
+    importlib.reload(fastconv)
+    yield
+    os.environ.pop("FLDRX_PALLAS_INTERPRET", None)
+    from fldrx.ops import fastconv
+    importlib.reload(fastconv)
+
+
+def test_conv3x3_pixrows_matches_lax():
+    from fldrx.ops import fastconv
+
+    rng = np.random.RandomState(0)
+    for (H, W, Cin, K) in ((16, 24, 8, 4), (8, 8, 3, 5)):
+        x = jnp.asarray(rng.randn(2, H, W, Cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, Cin, K).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.randn(K).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST) + b
+        got = fastconv.conv3x3_pixrows(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-2, rtol=1e-2)  # bf16 operands
+
+
+def test_conv3x3_pixrows_unet_shapes():
+    """The packed-UNet layer shapes flow through (small spatial analog)."""
+    from fldrx.ops import fastconv
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 16, 32, 26).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.randn(3, 3, 26, 16).astype(np.float32) * 0.1)
+    b = jnp.zeros((16,), np.float32)
+    out = fastconv.conv3x3_pixrows(x, w, b)
+    assert out.shape == (1, 16, 32, 16)
+    assert np.isfinite(np.asarray(out)).all()
