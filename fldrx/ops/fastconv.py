@@ -2,16 +2,20 @@
 
 Why: XLA's conv on TPU reaches only ~2-5% MXU utilization for these shapes
 (measured 14.9 ms for a 141-GMAC 416→64 conv at [576,1024]). This kernel
-expresses the 3x3 stride-1 conv as 9 shifted [pixels, Cin] @ [Cin, K]
-matmuls accumulated in f32 — proper MXU shapes with channels on lanes.
+expresses the 3x3 stride-1 conv as 3 row-shifted [pixels, 3·Cin] @
+[3·Cin, K] matmuls accumulated in f32 — proper MXU shapes.
 
-Layout: the image is flattened pixel-major with 1-pixel W padding so a
-(dy, dx) tap shift is a pure ROW OFFSET of dy*(W+2)+dx in the flat array;
-the W-pad columns absorb cross-row wraparound and are sliced away by the
-caller. Rows stream through VMEM in double-buffered blocks.
+Layout: the padded image is flattened pixel-major with the row width padded
+to a multiple of 8, so a ky tap shift is a row offset of ky·Wp8 — an
+8-aligned (sublane-aligned) static slice, which Mosaic handles without
+relayout copies. The three kx taps are pre-folded into the channel axis in
+the XLA prologue (X3[p] = (x[p−1], x[p], x[p+1]) — one concat of row-shifted
+views, since flat-row neighbours ARE x neighbours). Junk columns from the
+width padding are sliced away at the end. Rows stream through VMEM in
+double-buffered blocks.
 
 Used by model.fldrnet.refine_unet_s2d on TPU; the XLA conv remains the
-fallback (CPU / interpret-less paths) and the parity reference.
+fallback (CPU / non-interpret paths) and the parity reference.
 """
 
 from __future__ import annotations
@@ -29,24 +33,15 @@ _INTERPRET = bool(os.environ.get("FLDRX_PALLAS_INTERPRET"))
 _BH = 8          # image rows per grid step
 
 
-def _block_rows(Wp: int) -> int:
-    """Flat rows per input block: (BH+2) padded image rows plus the slack the
-    junk output columns' taps reach into, rounded to the 8-sublane DMA
-    alignment Mosaic requires."""
-    need = (_BH + 2) * Wp + 2
-    return -(-need // 8) * 8
-
-
-def _conv_kernel(Wp, Cin, K, x_hbm, w_ref, b_ref, out_ref, xbuf, sem):
-    """One step: rows [i*BH, i*BH+BH) of the output; the input block spans
-    [i*BH, i*BH+BH+2) rows of the (H+2)-row padded image, flattened to
-    [(BH+2)*Wp, Cin]."""
+def _conv_kernel(Wp8, C3, K, x_hbm, w_ref, b_ref, out_ref, xbuf, sem):
+    """One step: output rows [i·BH, i·BH+BH); input block = X3 rows
+    [i·BH·Wp8, (i·BH+BH+2)·Wp8)."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    rows = _block_rows(Wp)
+    rows = (_BH + 2) * Wp8
 
     def dma(step, slot):
-        start = pl.multiple_of(step * _BH * Wp, 8)
+        start = pl.multiple_of(step * _BH * Wp8, 8)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(start, rows)], xbuf.at[slot], sem.at[slot])
 
@@ -60,18 +55,14 @@ def _conv_kernel(Wp, Cin, K, x_hbm, w_ref, b_ref, out_ref, xbuf, sem):
 
     dma(i, i % 2).wait()
     x = xbuf[i % 2]
-    first = True
     res = None
     for ky in range(3):
-        for kx in range(3):
-            off = ky * Wp + kx
-            s = x[off:off + _BH * Wp]         # static offset (Python int)
-            contrib = jax.lax.dot_general(
-                s, w_ref[ky * 3 + kx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            res = contrib if first else res + contrib
-            first = False
+        off = ky * Wp8                        # 8-aligned static slice
+        s = x[off:off + _BH * Wp8]
+        contrib = jax.lax.dot_general(
+            s, w_ref[ky], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        res = contrib if ky == 0 else res + contrib
     out_ref[...] = (res + b_ref[...]).astype(out_ref.dtype)
 
 
@@ -92,44 +83,43 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
         return (y + b.astype(y.dtype)).astype(out_dtype)
 
-    Wp = W + 2
-    # HBM row slices need the lane dim 128-aligned — pad channels (the
-    # padded weight rows are zero, so the result is exact)
-    Cp = -(-Cin // 128) * 128
-    wk = w.reshape(9, Cin, K).astype(jnp.bfloat16)
-    if Cp != Cin:
-        wk = jnp.pad(wk, ((0, 0), (0, Cp - Cin), (0, 0)))
+    Wp8 = -(-(W + 2) // 8) * 8                # padded row width, 8-aligned
+    # weights: [ky][kx·Cin + c, k] with channels padded so the contraction
+    # lane dim is a 128 multiple (HBM slice alignment); zero rows are exact
+    C3 = 3 * Cin
+    C3p = -(-C3 // 128) * 128
+    wk = jnp.transpose(w, (0, 1, 2, 3)).reshape(3, 3 * Cin, K)
+    wk = jnp.pad(wk.astype(jnp.bfloat16), ((0, 0), (0, C3p - C3), (0, 0)))
     bk = b.astype(jnp.float32).reshape(1, K)
     outs = []
     for bidx in range(B):
-        xb = x[bidx]
-        if Cp != Cin:
-            xb = jnp.pad(xb, ((0, 0), (0, 0), (0, Cp - Cin)))
-        xp = jnp.pad(xb, ((1, 1), (1, 1), (0, 0))).astype(jnp.bfloat16)
-        # slack rows: the junk output columns at a block's end reach taps
-        # just past the block (they are sliced away afterwards); the last
-        # block's DMA must stay in bounds
-        slack = _block_rows(Wp) + (H - _BH) * Wp - (H + 2) * Wp
-        x2 = jnp.pad(xp.reshape((H + 2) * Wp, Cp), ((0, max(slack, 0)), (0, 0)))
+        xp = jnp.pad(x[bidx], ((1, 1), (1, Wp8 - W - 1), (0, 0))
+                     ).astype(jnp.bfloat16)
+        x2 = xp.reshape((H + 2) * Wp8, Cin)
+        # fold the kx taps into channels: X3[p] = (x2[p], x2[p+1], x2[p+2]);
+        # flat-row neighbours are x neighbours (width-padded rows)
+        R = x2.shape[0]
+        x3 = jnp.concatenate([x2[0:R - 2], x2[1:R - 1], x2[2:R]], axis=1)
+        x3 = jnp.pad(x3, ((0, 2), (0, C3p - C3)))
         out = pl.pallas_call(
-            functools.partial(_conv_kernel, Wp, Cp, K),
+            functools.partial(_conv_kernel, Wp8, C3p, K),
             grid=(H // _BH,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec((9, Cp, K), lambda i: (0, 0, 0)),
+                pl.BlockSpec((3, C3p, K), lambda i: (0, 0, 0)),
                 pl.BlockSpec((1, K), lambda i: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((_BH * Wp, K), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((H * Wp, K), out_dtype),
+            out_specs=pl.BlockSpec((_BH * Wp8, K), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((H * Wp8, K), out_dtype),
             scratch_shapes=[
-                pltpu.VMEM((2, _block_rows(Wp), Cp), jnp.bfloat16),
+                pltpu.VMEM((2, (_BH + 2) * Wp8, C3p), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=127 * 1024 * 1024),
             interpret=_INTERPRET,
-        )(x2, wk, bk)
-        out = out.reshape(H, Wp, K)[:, :W]
+        )(x3, wk, bk)
+        out = out.reshape(H, Wp8, K)[:, :W]
         outs.append(out)
     return jnp.stack(outs, 0)

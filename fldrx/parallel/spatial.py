@@ -158,8 +158,17 @@ def _field_pack(params, cfg: FLDRConfig, flow, frames, t):
     flow_t0 = tb * flow_01
     flow_t1 = (1.0 - tb) * flow_10
     z0, z1 = z_metrics(params["vfinet"], x0, x1, flow_10, flow_01, fast=False)
-    fb0 = up(bw_exact(flow[..., 0:2] * tb, (1.0 - tb) * flow[..., 2:4]))
-    fb1 = up(bw_exact(flow[..., 2:4] * (1.0 - tb), tb * flow[..., 0:2]))
+    if min(flow.shape[1], flow.shape[2]) >= 96:
+        # low-res composition + full-res analytic mask — must mirror the
+        # unsharded fast path's gating (model/fldrnet.py synthesize)
+        from ..model.fldrnet import _bwarp_ones_mask
+        fb0 = up(bw_exact(flow[..., 0:2] * tb, (1.0 - tb) * flow[..., 2:4],
+                          False)) * _bwarp_ones_mask((1.0 - tb) * flow_01)
+        fb1 = up(bw_exact(flow[..., 2:4] * (1.0 - tb), tb * flow[..., 0:2],
+                          False)) * _bwarp_ones_mask(tb * flow_10)
+    else:
+        fb0 = bw_exact(flow_10 * tb, (1.0 - tb) * flow_01)
+        fb1 = bw_exact(flow_01 * (1.0 - tb), tb * flow_10)
     return jnp.concatenate(
         [x0, x1, flow_t0, flow_t1, z0, z1, fb0, fb1], axis=-1)
 
