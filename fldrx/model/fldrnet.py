@@ -166,8 +166,8 @@ def _packed_conv(p: Params, x: jnp.ndarray, pin: int, pout: int,
     w = _repack_conv_w(p["w"], pin, pout, stride, pad).astype(x.dtype)
     b = jnp.tile(p["b"], pout * pout)
     if x.dtype == jnp.bfloat16:
-        # Pallas pixel-rows conv: XLA's conv reaches ~2-5% MXU utilization
-        # at these shapes (measured); the 9-shifted-matmul kernel is ~5x
+        # Pallas pixel-rows conv (XLA's conv reaches ~2-5% MXU utilization
+        # at these shapes; the roll-based kernel avoids materialized im2col)
         from ..ops.fastconv import conv3x3_pixrows
         return conv3x3_pixrows(x, w, b)
     prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
@@ -182,7 +182,9 @@ def refine_unet_s2d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """PCARefineUNet on space-to-depth packed tensors (weight-exact).
 
     Grids: full H×W input → quarter-spatial packed reps throughout.
-    Measured at 4K bf16: ~9 ms vs 72 ms for the plain-NHWC version.
+    Measured at 4K bf16: ~68 ms vs 72 ms plain NHWC — the convs improve
+    ~2x but the s2d/d2s boundary transposes pay most of it back; XLA's
+    conv itself is the remaining wall (~2-5% MXU utilization here).
     """
     B, H, W, C = x.shape
     xs4 = s2d(x, 4)                                   # [H/4,W/4,16C]
@@ -190,17 +192,10 @@ def refine_unet_s2d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     e2 = relu(_packed_conv(p["enc2"], e1, 2, 1, 2))   # plain quarter, 32ch
     e2p = s2d(e2, 2)                                  # s2d2(quarter), 128ch
     e3 = relu(_packed_conv(p["enc3"], e2p, 2, 1, 2))  # plain eighth, 64ch
-
-    def conv3(pp, a):
-        if a.dtype == jnp.bfloat16:
-            from ..ops.fastconv import conv3x3_pixrows
-            return conv3x3_pixrows(a, pp["w"].astype(a.dtype), pp["b"])
-        return conv2d(pp, a)
-
-    d0 = relu(conv3(p["dec0"], e3))                   # plain eighth, 64ch
+    d0 = relu(conv2d(p["dec0"], e3))                  # plain eighth, 64ch
     # upsample to quarter grid + skip concat (both plain at [H/4, W/4])
     u0 = jnp.concatenate([upsample_nearest2x(d0), e2], -1)   # 96ch quarter
-    d1 = relu(conv3(p["dec1"], u0))                   # 32ch quarter
+    d1 = relu(conv2d(p["dec1"], u0))                  # 32ch quarter
     # half grid, packed: nearest-upsample = repeat d1 per cell, interleaved
     # with the matching cell slice of the e1 skip (cell-major channel order)
     e1c = e1.shape[-1] // 4
