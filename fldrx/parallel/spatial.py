@@ -27,6 +27,8 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -274,3 +276,65 @@ def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
 
 
 TILE_ALIGN = 32
+
+
+# ---------------------------------------------------------------------------
+# t-parallel eval: shard the interpolation times over devices
+# ---------------------------------------------------------------------------
+
+def make_t_parallel_eval(params, cfg: FLDRConfig, mesh: Mesh):
+    """Multi-chip ×N interpolation throughput (SURVEY.md §2.9 "multi-frame
+    throughput mode"): flow is computed once (replicated — it is 64x smaller
+    than synthesis), then the (multiple−1) t-values shard over EVERY mesh
+    device; each device runs the full fast-path level-0 synthesis for its
+    t's locally — no halo exchange, no cross-device communication after the
+    flow broadcast, and the Pallas warp engine runs unmodified per device.
+
+    Returns fn(frames [1,2,H,W,3], t_values [T]) → [T, H, W, 3]; T must be a
+    multiple of the device count.
+    """
+    from ..model.fldrnet import forward_flow, forward_synthesis
+
+    devices = mesh.devices.reshape(-1)
+    n = len(devices)
+    tmesh = Mesh(devices, ("t",))
+
+    def fn(params, frames, ts):
+        ph = pad_amount(frames.shape[2], cfg.div_pad)
+        pw = pad_amount(frames.shape[3], cfg.div_pad)
+        if ph or pw:
+            frames = jnp.pad(
+                frames, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
+                mode="reflect" if cfg.padding == "reflect" else "constant")
+        pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
+        flow = forward_flow(params, cfg, pyr)
+
+        def synth_local(flow_r, frames_r, ts_local):
+            T_local = ts_local.shape[0]
+            outs = []
+            for k in range(T_local):
+                outs.append(forward_synthesis(
+                    params, cfg, flow_r, frames_r, ts_local[k][None, None]))
+            return jnp.concatenate(outs, 0)
+
+        synth = shard_map(
+            synth_local, mesh=tmesh,
+            in_specs=(P(), P(), P("t")),
+            out_specs=P("t"),
+            check_rep=False,
+        )
+        return synth(flow, frames, ts)
+
+    jitted = jax.jit(fn)
+
+    def call(frames, t_values):
+        H, W = frames.shape[2], frames.shape[3]
+        ts = np.asarray(t_values, np.float32).reshape(-1)
+        assert ts.shape[0] % n == 0, (ts.shape[0], n)
+        fr = jax.device_put(jnp.asarray(frames, jnp.float32),
+                            NamedSharding(tmesh, P()))
+        tsj = jax.device_put(jnp.asarray(ts), NamedSharding(tmesh, P("t")))
+        pr = jax.device_put(params, NamedSharding(tmesh, P()))
+        return jitted(pr, fr, tsj)[:, :H, :W]
+
+    return call

@@ -101,3 +101,30 @@ def test_sharded_fast_eval_matches_unsharded():
     finally:
         os.environ.pop("FLDRX_PALLAS_INTERPRET", None)
         importlib.reload(fastwarp)
+
+
+def test_t_parallel_eval_matches_sequential():
+    """t-sharded multi-chip eval (SURVEY §2.9 multi-frame throughput mode):
+    each device synthesizes its own t-values with the full local pipeline;
+    results match per-t sequential synthesis."""
+    from fldrx.config import papermodel
+    from fldrx.eval.pipeline import Interpolator
+    from fldrx.model.fldrnet import init_params
+    from fldrx.parallel.mesh import make_mesh
+    from fldrx.parallel.spatial import make_t_parallel_eval
+
+    cfg = papermodel().replace(S_tst=1, S_trn=1, fast_warp=False)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(0)
+    H, W = 64, 96
+    frames = (rng.rand(1, 2, H, W, 3) * 2 - 1).astype(np.float32)
+    ts = np.linspace(1 / 8, 7 / 8, 8).astype(np.float32)
+
+    interp = Interpolator(params, cfg)
+    seq = np.stack([np.asarray(interp(frames, [[t]])[0]) for t in ts], 0)
+
+    mesh = make_mesh(jax.devices()[:8], dp=4, sp=2)
+    call = make_t_parallel_eval(params, cfg, mesh)
+    with mesh:
+        got = np.asarray(call(frames, ts))
+    np.testing.assert_allclose(got, seq, atol=1e-5)
