@@ -2,17 +2,20 @@
 
 Why: XLA's conv on TPU reaches only ~2-5% MXU utilization for these shapes
 (measured 14.9 ms for a 141-GMAC 416→64 conv at [576,1024]). This kernel
-expresses the 3x3 stride-1 conv as 9 row-shifted [pixels, Cin] @ [Cin, K]
+expresses the 3x3 stride-1 conv as 3 row-shifted [pixels, Cin] @ [Cin, 3K]
 matmuls accumulated in f32 — proper MXU shapes with channels on lanes.
 
 Layout: the padded image is flattened pixel-major with the row width padded
 to a multiple of 8, so a ky tap shift is an 8-aligned (sublane-aligned)
-static slice — Mosaic handles those without relayout copies. The kx = 1, 2
-taps come from two in-VMEM sublane rolls of the block (flat-row neighbours
-ARE x neighbours); roll wraparound lands only in the slack rows / junk
-columns, which are sliced away. No im2col is ever materialized (a previous
-variant that concatenated 3x shifted copies in XLA lost its matmul gains to
-the prologue traffic). Rows stream through VMEM double-buffered.
+static slice — Mosaic handles those without relayout copies. The kx taps
+ride the OUTPUT side: per ky, one matmul against the 3 kx weight blocks
+concatenated on the output axis ([Cin, 3K] — filling the MXU's 128-wide
+output), then each kx block is shifted by its tap offset as an unaligned
+slice of the small [N, K] result (cheap relayout; the same shift on the
+[N, Cin] operand forces a full-block copy per tap, and pltpu.roll fails to
+compile at these block sizes — both measured). No im2col is materialized (a
+variant concatenating 3x shifted copies in XLA lost its matmul gains to the
+prologue traffic). Rows stream through VMEM double-buffered.
 
 Used by model.fldrnet.refine_unet_s2d on TPU under bf16; the XLA conv
 remains the fallback (CPU / f32 parity path) and the parity reference.
@@ -58,20 +61,23 @@ def _conv_kernel(Wp8, Cp, K, x_hbm, w_ref, b_ref, out_ref, xbuf, sem):
     dma(i, i % 2).wait()
     x0 = xbuf[i % 2]
     N = _BH * Wp8
+    K = w_ref.shape[2] // 3
     res = None
     for ky in range(3):
         off = ky * Wp8                      # 8-aligned static slice
         s = x0[off:off + N + 8]             # +8 rows: kx taps, 8-mult length
+        # one matmul per ky with the 3 kx weight blocks concatenated on the
+        # output axis (3K lanes fill the MXU's 128-wide output; a K=64-wide
+        # result wastes half of it). The kx shifts are taken on the SMALL
+        # outputs — an unaligned sublane slice of [N, K] is a cheap
+        # relayout, while on the [N, Cp] operand it forced a full-block
+        # copy per tap (measured).
+        contrib = jax.lax.dot_general(
+            s, w_ref[ky], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         for kx in range(3):
-            # matmul on the aligned extended slice; the kx shift is taken on
-            # the SMALL output instead of the operand (an unaligned sublane
-            # slice of [N, K] is a cheap relayout; on the [N, Cp] operand it
-            # forced a full-block copy per tap — measured)
-            contrib = jax.lax.dot_general(
-                s, w_ref[ky * 3 + kx], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            res = (contrib[kx:kx + N] if res is None
-                   else res + contrib[kx:kx + N])
+            part = contrib[kx:kx + N, kx * K:(kx + 1) * K]
+            res = part if res is None else res + part
     out_ref[...] = (res + b_ref[...]).astype(out_ref.dtype)
 
 
@@ -94,7 +100,9 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
     Wp8 = -(-(W + 2) // 8) * 8              # padded row width, 8-aligned
     Cp = -(-Cin // 128) * 128               # HBM slice lane alignment
-    wk = w.reshape(9, Cin, K).astype(jnp.bfloat16)
+    # [ky][Cin, 3K]: kx weight blocks concatenated on the output axis
+    wk = jnp.transpose(w, (0, 2, 1, 3)).reshape(3, Cin, 3 * K)
+    wk = wk.astype(jnp.bfloat16)
     if Cp != Cin:
         wk = jnp.pad(wk, ((0, 0), (0, Cp - Cin), (0, 0)))
     bk = b.astype(jnp.float32).reshape(1, K)
@@ -113,7 +121,7 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             grid=(H // _BH,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec((9, Cp, K), lambda i: (0, 0, 0)),
+                pl.BlockSpec((3, Cp, 3 * K), lambda i: (0, 0, 0)),
                 pl.BlockSpec((1, K), lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((_BH * Wp8, K), lambda i: (i, 0)),
