@@ -60,6 +60,45 @@ def cross_generalisation(images, wiS=8, n_comp=16):
         print(f"image {i}: cross-PCA reconstruction {p:.2f} dB")
 
 
+def checkpoint_ev_reconstruction(images, ckpt_npz=None, wiS=8):
+    """Reconstruct images through the CHECKPOINT's learned EVs — the
+    reference's scale-transfer reconstruction incl. loading trained EVs
+    (reconstruction_test, pca_comp.py:680-770): how much image content the
+    shipped learned basis retains vs a freshly fitted one."""
+    from ..tools.convert_ckpt import load_params_npz
+
+    if ckpt_npz is None:
+        import os
+        ckpt_npz = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "checkpoints",
+            "fldrnet_best.npz")
+    params, _extras, _meta = load_params_npz(ckpt_npz)
+    mean = np.asarray(params["pca"]["mean"], np.float64)
+    ev = np.asarray(params["pca"]["ev"], np.float64)
+    n_comp = ev.shape[0]
+    out = []
+    for i, img in enumerate(images):
+        H = img.shape[0] // wiS * wiS
+        W = img.shape[1] // wiS * wiS
+        im = (np.asarray(img, np.float64)[:H, :W] / 255.0) * 2 - 1
+        blocks = np.asarray(blocks_from_images(jnp.asarray(im), wiS))
+        hb, wb = blocks.shape[0], blocks.shape[1]
+        flat = blocks.reshape(-1, wiS * wiS) - mean
+        t = flat @ ev.T
+        # trained EVs drift from orthonormality (orthLoss is off in the
+        # papermodel), so invert with the pseudo-inverse — this measures the
+        # content retained by the learned SUBSPACE, which is what the
+        # reference's diagnostic is after (pca_comp.py:680-770)
+        rec_blocks = t @ np.linalg.pinv(ev.T) + mean
+        rec = rec_blocks.reshape(hb, wb, wiS, wiS).transpose(0, 2, 1, 3)
+        rec = rec.reshape(hb * wiS, wb * wiS)
+        p = psnr((im + 1) * 127.5, (rec + 1) * 127.5, data_range=255.0)
+        out.append(p)
+        print(f"image {i}: checkpoint-EV reconstruction {p:.2f} dB")
+    return out
+
+
 def _load_or_synth(paths):
     if paths:
         from PIL import Image
@@ -79,3 +118,8 @@ if __name__ == "__main__":
     sweep(images)
     print("== cross-image generalisation (fit on image 0) ==")
     cross_generalisation(images)
+    print("== checkpoint learned-EV reconstruction ==")
+    try:
+        checkpoint_ev_reconstruction(images)
+    except FileNotFoundError:
+        print("(converted checkpoint not found — run fldrx.tools.convert_ckpt)")

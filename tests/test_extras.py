@@ -99,3 +99,24 @@ def test_pca_diagnostics_tool():
     img = np.sin(xx / 5.0) * 100 + 128 + rng.randn(64, 64)
     p, _ = reconstruction_psnr(img, 8, 16)
     assert p > 25
+
+
+def test_checkpoint_ev_reconstruction():
+    """The shipped learned EV basis reconstructs natural-ish content well —
+    the reference's checkpoint-EV reconstruction diagnostic
+    (pca_comp.py:680-770)."""
+    import os
+    import pytest
+
+    from fldrx.tools.pca_diagnostics import checkpoint_ev_reconstruction
+
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "checkpoints", "fldrnet_best.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("converted checkpoint unavailable")
+    yy, xx = np.mgrid[0:256, 0:256]
+    img = (np.sin(xx / 23.0) * np.cos(yy / 31.0) * 90 + 128
+           + np.sin((xx + yy) / 57.0) * 30)
+    psnrs = checkpoint_ev_reconstruction([img], ckpt_npz=ckpt)
+    # 16-of-64 learned components keep smooth content nearly lossless
+    assert psnrs[0] > 30.0, psnrs
