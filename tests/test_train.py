@@ -271,3 +271,21 @@ def test_optional_loss_switches():
     b4["epoch"] = np.float32(0.0)
     _, m_early = step(TrainState.create(params, cfg), b4)
     assert float(m_early["warp"]) >= float(m_late["warp"])
+
+
+def test_pyramid_dump(tmp_path):
+    """save_images path: _dump_pyramid writes a training grid PNG
+    (main.py:683-690 equivalent)."""
+    import os
+    from fldrx.train.loop import _dump_pyramid
+
+    cfg = papermodel().replace(S_trn=1, S_tst=1, phase="train",
+                               log_dir=str(tmp_path / "lg"), exp_num=42)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    batch = _tiny_batch(cfg)
+    _dump_pyramid(cfg, params, batch, epoch=3, it=100)
+    p = tmp_path / "lg" / "exp_42" / "pyramid" / "003_0100_training.png"
+    assert p.exists()
+    from PIL import Image
+    img = Image.open(str(p))
+    assert img.size[1] == 64          # one row of 64px-high tiles
