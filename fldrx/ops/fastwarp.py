@@ -5,16 +5,23 @@ Why: XLA's per-element gather/scatter on TPU is scalarized — at 4K the
 reference pipeline spends ~9.5s/frame in 6 gathers + 2 splats (measured,
 v5e). This module reformulates both as MXU work:
 
-  * The frame is cut into TILE×TILE tiles. Each tile's samples land in a
-    bounded window around the tile's mean flow → DMA that window into VMEM
-    at a dynamic, lane-aligned origin (scalar-prefetched; row origins are
-    8-quantized and column origins Qx-quantized so (origin·C) is a multiple
-    of the 128-lane tiling Mosaic requires).
-  * Within a tile, bilinear interpolation is separable one-hot contractions
-    on the MXU:  out = (CXe ⊙ (RY @ win)) @ M   (gather)
-                 win += RYT @ (CXe ⊙ (vals @ Mt))  (splat)
-    where RY/CX have 2 nonzeros per row (the bilinear taps) built by
-    iota-compares in VMEM — no per-element addressing anywhere.
+  * The frame is cut into TILE×TILE tiles. For the GATHER each tile's
+    samples land in a bounded window around the tile's mean flow → that
+    window is DMA'd into VMEM at a dynamic, lane-aligned origin
+    (scalar-prefetched; row origins 8-quantized, column origins
+    Qx-quantized so origin·C is a multiple of the 128-lane tiling), K tiles
+    per grid step with double-buffered DMAs. The SPLAT accumulates into a
+    VMEM strip swept down the image (finalized rows flush to HBM exactly
+    once — no read-modify-write DMA); the target's vertical position is
+    absorbed into a strip-height one-hot so the accumulate stays
+    sublane-static.
+  * Within a tile, bilinear interpolation is separable one-hot/hat
+    contractions on the MXU:
+        out   = (hat(u−x) ⊙ (RYT @ win)) @ M          (gather)
+        strip += RYT_strip @ (hat(u−x) ⊙ (vals @ Rep)) (splat)
+    where the y one-hots have 2 nonzeros per column (the bilinear taps,
+    iota-compares) and hat(u−x) = max(0, 1−|u−x|) reproduces the two x taps
+    exactly — no per-element addressing anywhere.
   * Pixels whose sample/target falls outside the window ("spills", e.g. at
     motion boundaries) are fixed up exactly by a compacted XLA path over at
     most SPILL_CAP pixels; more spills than that triggers a full exact

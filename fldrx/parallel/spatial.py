@@ -43,6 +43,8 @@ from ..eval.pipeline import build_pyramid
 from ..model.fldrnet import forward_test
 from ..ops.pad import pad_amount
 
+TILE_ALIGN = 32        # warp-engine tile size: shard widths must divide it
+
 
 def make_sharded_eval(params, cfg: FLDRConfig, mesh: Mesh):
     """Returns fn(frames [B,2,H,W,3], t [B,1]) running batch-over-'dp' and
@@ -273,9 +275,6 @@ def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
         return jitted(pr, fr, tt)[:, :H, :W]
 
     return call
-
-
-TILE_ALIGN = 32
 
 
 # ---------------------------------------------------------------------------
