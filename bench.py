@@ -69,12 +69,18 @@ def main():
     # default synthesizes per t
     mode = os.environ.get("FLDRX_BENCH_MODE", "single")
 
+    tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "2"))
+
     def measure():
         flow, padded, extras = interp.precompute_flow(frames_j)
         if mode == "multi":
-            # all 7 t-values in one jitted synthesis program
-            out = interp.synthesize_multi_at(flow, padded, t_values, (H, W),
-                                             extras)
+            # t-values batched into jitted synthesis programs of `tchunk`
+            # (all 7 at once exceeds HBM: the side-effecting warp kernels
+            # pin their buffers)
+            out = None
+            for k in range(0, len(t_values), tchunk):
+                out = interp.synthesize_multi_at(
+                    flow, padded, t_values[k:k + tchunk], (H, W), extras)
             return float(jnp.sum(out[-1]))
         out = None
         for tv in t_values:
