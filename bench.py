@@ -64,10 +64,11 @@ def main():
     multiple = int(os.environ.get("FLDRX_BENCH_MULTIPLE", "8"))
     t_values = np.linspace(1 / multiple, 1 - 1 / multiple, multiple - 1)
 
-    # "multi" batches all 7 t-values into one program — currently exceeds
-    # HBM at 4K (the side-effecting warp kernels pin their buffers), so the
-    # default synthesizes per t
-    mode = os.environ.get("FLDRX_BENCH_MODE", "single")
+    # "multi" batches the t-values into chunked jitted programs (2 per
+    # program by default: all 7 at once exceeds HBM — the side-effecting
+    # warp kernels pin their buffers). Measured 2.61 vs 2.53 fps for
+    # per-t programs; FLDRX_BENCH_MODE=single reverts.
+    mode = os.environ.get("FLDRX_BENCH_MODE", "multi")
 
     tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "2"))
 
