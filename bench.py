@@ -64,13 +64,13 @@ def main():
     multiple = int(os.environ.get("FLDRX_BENCH_MULTIPLE", "8"))
     t_values = np.linspace(1 / multiple, 1 - 1 / multiple, multiple - 1)
 
-    # "multi" batches the t-values into chunked jitted programs (2 per
-    # program by default: all 7 at once exceeds HBM — the side-effecting
-    # warp kernels pin their buffers). Measured 2.61 vs 2.53 fps for
-    # per-t programs; FLDRX_BENCH_MODE=single reverts.
+    # "multi" batches the t-values into chunked jitted programs. Measured:
+    # chunk 1 (per-t) 2.53 fps, chunk 2 → 2.61, chunk 3 → 2.64, chunk 4 →
+    # 2.50 (memory pressure degrades the schedule; 7 at once OOMs — the
+    # side-effecting warp kernels pin their buffers).
     mode = os.environ.get("FLDRX_BENCH_MODE", "multi")
 
-    tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "2"))
+    tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "3"))
 
     def measure():
         flow, padded, extras = interp.precompute_flow(frames_j)
