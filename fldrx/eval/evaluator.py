@@ -95,34 +95,13 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     skipped: List[int] = []
 
     # multi-t reuse: consecutive items share a frame pair every (multiple-1)
-    # targets (make_2D_dataset_X_Test layout); flow is computed once per pair
-    flow_cache = {"key": None, "flow": None, "padded": None, "extras": None}
+    # targets (make_2D_dataset_X_Test layout); the pair's flow is computed
+    # once and the t-values synthesize in chunked multi-t programs (chunk 3
+    # measured fastest on v5e — see bench.py)
+    tchunk = 3
 
-    for idx, (frames, t, scene) in enumerate(test_samples(ds, patch)):
-        if jump_to > 1 and idx < jump_to:    # --jumptotest (main.py:817-819)
-            continue
-        if frames is None or frames.ndim < 4:
-            skipped.append(idx)
-            continue
-        inputs = frames[None, :2]                     # [1,2,H,W,C]
+    def process_item(idx, frames, t, scene, pred):
         target = frames[2]
-        t_arr = np.full((1, 1), t, np.float32)
-
-        pair_key = ds.items[idx].paths[:2] if hasattr(ds, "items") else None
-        H, W = inputs.shape[2], inputs.shape[3]
-        t0 = time.time()
-        if pair_key is not None:
-            if flow_cache["key"] != pair_key:
-                flow, padded, extras = interp.precompute_flow(inputs)
-                flow_cache.update(key=pair_key, flow=flow, padded=padded,
-                                  extras=extras)
-            pred = np.asarray(interp.synthesize_at(
-                flow_cache["flow"], flow_cache["padded"], t_arr, (H, W),
-                flow_cache["extras"]))[0]
-        else:
-            pred = interp.interpolate_np(inputs, t_arr)[0]
-        pred_time.update(time.time() - t0)
-
         out_img = np.around(metrics.denorm255(pred))
         if compute_metrics:
             if validation:
@@ -135,19 +114,63 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
             ssims.update(s)
             if dataset_name.startswith("Inter4K"):
                 per_t[int(round(t * multiple)) - 1].update(p)
-
         if save_dir:
             from PIL import Image
             d = os.path.join(save_dir, dataset_name, scene.replace(os.sep, "_"))
             os.makedirs(d, exist_ok=True)
             Image.fromarray(out_img[..., ::-1].astype(np.uint8)).save(
                 os.path.join(d, f"{t:.4f}.png"))
-
         if verbose and idx % (multiple - 1) == multiple - 2:
             print(f"[{idx + 1}/{len(ds)}] PSNR {psnrs.avg:.4f}  "
                   f"SSIM {ssims.avg:.4f}  pred {pred_time.avg * 1000:.1f} ms")
-        if stop_at != -1 and idx > stop_at:
+
+    pending: List = []          # buffered (idx, frames, t, scene) of one pair
+    pending_key = [None]
+
+    def flush_group():
+        if not pending:
+            return
+        inputs = pending[0][1][None, :2]              # [1,2,H,W,C]
+        H, W = inputs.shape[2], inputs.shape[3]
+        t0 = time.time()
+        flow, padded, extras = interp.precompute_flow(inputs)
+        preds: List[np.ndarray] = []
+        ts = [it[2] for it in pending]
+        for k in range(0, len(ts), tchunk):
+            out = interp.synthesize_multi_at(flow, padded, ts[k:k + tchunk],
+                                             (H, W), extras)
+            preds.extend(np.asarray(out)[:, 0])
+        dt = (time.time() - t0) / len(pending)
+        for (idx, frames, t, scene), pred in zip(pending, preds):
+            pred_time.update(dt)
+            process_item(idx, frames, t, scene, pred)
+        pending.clear()
+
+    stop = False
+    for idx, (frames, t, scene) in enumerate(test_samples(ds, patch)):
+        if stop:
             break
+        if jump_to > 1 and idx < jump_to:    # --jumptotest (main.py:817-819)
+            continue
+        if frames is None or frames.ndim < 4:
+            skipped.append(idx)
+            continue
+        pair_key = ds.items[idx].paths[:2] if hasattr(ds, "items") else None
+        if pair_key is None:
+            flush_group()
+            t0 = time.time()
+            pred = interp.interpolate_np(frames[None, :2],
+                                         np.full((1, 1), t, np.float32))[0]
+            pred_time.update(time.time() - t0)
+            process_item(idx, frames, t, scene, pred)
+        else:
+            if pending and pending_key[0] != pair_key:
+                flush_group()
+            pending.append((idx, frames, t, scene))
+            pending_key[0] = pair_key
+        if stop_at != -1 and idx > stop_at:   # --stoptestat (main.py:972-974)
+            stop = True
+    flush_group()
 
     if skipped and verbose:
         print("These indices were skipped:", skipped)
