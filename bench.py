@@ -30,7 +30,8 @@ def main():
     from fldrx.config import papermodel_test5
 
     dtype = os.environ.get("FLDRX_BENCH_DTYPE", "bfloat16")
-    cfg = papermodel_test5().replace(compute_dtype=dtype)
+    tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "3"))
+    cfg = papermodel_test5().replace(compute_dtype=dtype, t_chunk=tchunk)
     try:
         interp, cfg, _ = prepare_model(DEFAULT_NPZ, cfg)
     except FileNotFoundError:
@@ -69,8 +70,6 @@ def main():
     # 2.50 (memory pressure degrades the schedule; 7 at once OOMs — the
     # side-effecting warp kernels pin their buffers).
     mode = os.environ.get("FLDRX_BENCH_MODE", "multi")
-
-    tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "3"))
 
     def measure():
         flow, padded, extras = interp.precompute_flow(frames_j)

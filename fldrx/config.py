@@ -76,6 +76,11 @@ class FLDRConfig:
 
     # --- eval / data ---
     multiple: int = 8
+    # t-values per chunked multi-t synthesis program (evaluator/bench/API):
+    # one jitted program synthesizes t_chunk frames per launch, sharing the
+    # pair's flow. Sweep on v5e 4K: 1→2.53, 2→2.61, 3→2.64, 4→2.50 fps
+    # (beyond 3, memory pressure degrades the schedule).
+    t_chunk: int = 3
     padding: str = "reflect"          # pcanet → reflect (main.py:273)
     dataset: str = "X4K1000FPS"
     testsets: Tuple[str, ...] = ("Inter4K-S", "Inter4K-L", "X4K1000FPS", "Xiph-4K")
@@ -90,6 +95,12 @@ class FLDRConfig:
     # XLA ops remain the strict-parity path and the fallback for
     # non-tile-divisible / small shapes.
     fast_warp: bool = True
+    # Packed-domain synthesis (inference): every full-res tensor between the
+    # warp kernels and the final output lives in a cell-major
+    # space-to-depth-4 layout, so no narrow-channel 4K transpose is paid
+    # until the single final depth-to-space. Numerically identical to the
+    # plain fast path (layout permutation only). Requires fast_warp.
+    packed_synth: bool = True
     # Training via the warp engine's custom VJPs: measured 2.16 s/step vs
     # 3.75 s on the XLA ops (batch 8, 512², v5e) — but the first compile
     # takes tens of minutes through the remote TPU compiler (cached across

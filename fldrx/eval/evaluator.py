@@ -96,9 +96,9 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
 
     # multi-t reuse: consecutive items share a frame pair every (multiple-1)
     # targets (make_2D_dataset_X_Test layout); the pair's flow is computed
-    # once and the t-values synthesize in chunked multi-t programs (chunk 3
-    # measured fastest on v5e — see bench.py)
-    tchunk = 3
+    # once and the t-values synthesize in chunked multi-t programs of
+    # cfg.t_chunk (sweep results in config.py)
+    tchunk = max(1, cfg.t_chunk)
 
     def process_item(idx, frames, t, scene, pred):
         target = frames[2]

@@ -167,11 +167,16 @@ class Interpolator:
         return out[:, :, :orig_hw[0], :orig_hw[1]]
 
     def interpolate_multi_np(self, frames: np.ndarray, t_values) -> np.ndarray:
-        """×N mode: one flow computation, one synthesis per t.
-        Returns [len(t_values), B, H, W, 3]."""
+        """×N mode: one flow computation, then chunked multi-t synthesis
+        programs of cfg.t_chunk t-values each (the throughput configuration
+        the bench measures). Returns [len(t_values), B, H, W, 3]."""
         H, W = frames.shape[2], frames.shape[3]
         flow, padded, extras = self.precompute_flow(frames)
-        outs = [np.asarray(self.synthesize_at(flow, padded, tv, (H, W),
-                                              extras))
-                for tv in t_values]
-        return np.stack(outs, 0)
+        chunk = max(1, getattr(self.cfg, "t_chunk", 3))
+        outs = []
+        for k in range(0, len(t_values), chunk):
+            out = self.synthesize_multi_at(flow, padded,
+                                           t_values[k:k + chunk],
+                                           (H, W), extras)
+            outs.append(np.asarray(out))
+        return np.concatenate(outs, 0)

@@ -178,16 +178,12 @@ def _packed_conv(p: Params, x: jnp.ndarray, pin: int, pout: int,
     return y + b.astype(x.dtype)
 
 
-def refine_unet_s2d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """PCARefineUNet on space-to-depth packed tensors (weight-exact).
-
-    Grids: full H×W input → quarter-spatial packed reps throughout.
-    Measured at 4K bf16: ~68 ms vs 72 ms plain NHWC — the convs improve
-    ~2x but the s2d/d2s boundary transposes pay most of it back; XLA's
-    conv itself is the remaining wall (~2-5% MXU utilization here).
-    """
-    B, H, W, C = x.shape
-    xs4 = s2d(x, 4)                                   # [H/4,W/4,16C]
+def refine_unet_s2d_core(p: Params, xs4: jnp.ndarray) -> jnp.ndarray:
+    """PCARefineUNet on space-to-depth packed tensors (weight-exact):
+    consumes a cell-major s2d4 input [B, H/4, W/4, 16·C] and returns the
+    cell-major s2d4 output [B, H/4, W/4, 16·out] — the packed-domain
+    synthesis path feeds/consumes this directly with no boundary
+    transposes (they cost more than the convs themselves, measured)."""
     e1 = relu(_packed_conv(p["enc1"], xs4, 4, 2, 2))  # s2d2(half), 64ch
     e2 = relu(_packed_conv(p["enc2"], e1, 2, 1, 2))   # plain quarter, 32ch
     e2p = s2d(e2, 2)                                  # s2d2(quarter), 128ch
@@ -209,7 +205,20 @@ def refine_unet_s2d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         [d2[..., ((u // 2) * 2 + (v // 2)) * d2c:
              ((u // 2) * 2 + (v // 2) + 1) * d2c]
          for u in range(4) for v in range(4)], -1)    # s2d4(full), 16*16
-    out = _packed_conv(p["dec3"], u2, 4, 4, 1)        # s2d4(full), 16*out
+    return _packed_conv(p["dec3"], u2, 4, 4, 1)       # s2d4(full), 16*out
+
+
+def refine_unet_s2d(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """PCARefineUNet on space-to-depth packed tensors (weight-exact).
+
+    Grids: full H×W input → quarter-spatial packed reps throughout.
+    Measured at 4K bf16: ~68 ms vs 72 ms plain NHWC — the convs improve
+    ~2x but the s2d/d2s boundary transposes pay most of it back; XLA's
+    conv itself is the remaining wall (~2-5% MXU utilization here). The
+    packed-domain synthesis path avoids both boundary transposes by
+    calling refine_unet_s2d_core directly.
+    """
+    out = refine_unet_s2d_core(p, s2d(x, 4))
     # unpack via the 2D-flat route: transposing into [H, W*C] then splitting
     # the minor dim is measurably cheaper than transposing straight into the
     # narrow-C NHWC layout (19 vs 34 ms at 4K, measured)
@@ -330,10 +339,19 @@ def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     def up(f):
         return upscale * resize_2d(f, (H, W), "bilinear")
 
-    flow_t0, flow_t1 = up(flow_t0), up(flow_t1)
     if precomputed is not None:
-        flow_10, flow_01, z0, z1 = precomputed
+        flow_10, flow_01, z0, z1 = precomputed[:4]
+        if fast:
+            # scalar t commutes through the linear resize: reuse the
+            # precomputed full-res endpoint flows instead of resizing the
+            # t-scaled fields per t (saves two full-res resize passes per
+            # t-value; fp-rounding differs only at bilinear floor
+            # boundaries — measured deviation ~124 dB, see PARITY.md)
+            flow_t0, flow_t1 = tb * flow_01, (1.0 - tb) * flow_10
+        else:
+            flow_t0, flow_t1 = up(flow_t0), up(flow_t1)
     else:
+        flow_t0, flow_t1 = up(flow_t0), up(flow_t1)
         flow_10, flow_01 = up(flow_10), up(flow_01)
 
     x0 = images[:, 0]
@@ -410,6 +428,131 @@ def synthesize(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     return out_l, flow_refine, occ[..., 0:1], (flow_t0, flow_t1)
 
 
+def can_use_packed(flow_l: jnp.ndarray, images: jnp.ndarray) -> bool:
+    """Shape gate for the packed-domain synthesis: TILE-divisible frames
+    (the warp kernels' tiling) and a flow grid large enough for the
+    low-res flowback composition (same bound as the plain fast path)."""
+    H, W = images.shape[2], images.shape[3]
+    return (H % 32 == 0 and W % 32 == 0
+            and min(flow_l.shape[1], flow_l.shape[2]) >= 96)
+
+
+def _planes_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] → u-planes [B, 4, H/4, W·C] (strided row slices)."""
+    from ..ops.repack import extract_planes
+    return jnp.stack([extract_planes(x[b]) for b in range(x.shape[0])], 0)
+
+
+def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
+                      t: jnp.ndarray, precomputed=None,
+                      compute_dtype=jnp.float32):
+    """Level-0 synthesis with every full-res tensor in the u-plane
+    space-to-depth form [B, 4, H/4, W·C] (inference fast path).
+
+    Why: XLA on TPU pads the minor (lane) dim to 128, so any transpose
+    interleaving 4x4 cells into channel-minor 4K layouts costs 10-35 ms
+    (worst case a 32x lane-padding blowup). In the u-plane form (plane u =
+    rows y≡u mod 4, flat) the warp kernels emit packed layouts natively
+    (see ops/fastwarp.py), every cell view is a pure reshape, the refine
+    UNet consumes/produces the cell-major s2d4 packing with no boundary
+    transposes (refine_unet_s2d_core), the blend runs per plane, and the
+    single final unpack is a row-DMA Pallas kernel (ops/repack.py).
+    Numerics are identical to the plain fast path up to scalar-t resize
+    commutation (~124 dB, PARITY.md).
+
+    Inference-only: no custom VJP is attached (training uses `synthesize`).
+    """
+    from ..ops.fastwarp import bwarp_fast, softsplat_fast_planes
+    from ..ops.repack import interleave_planes
+
+    B = flow_l.shape[0]
+    flow_l = flow_l.astype(jnp.float32)
+    images = images.astype(jnp.float32)
+    tb = t.reshape(B, 1, 1, 1).astype(jnp.float32)
+    flow_10 = flow_l[..., 0:2]
+    flow_01 = flow_l[..., 2:4]
+    flow_refine = jnp.concatenate([tb * flow_01, (1.0 - tb) * flow_10], -1)
+
+    H, W = images.shape[2], images.shape[3]
+    Hp4, Wp4 = H // 4, W // 4
+    upscale = H // flow_l.shape[1]
+    x0 = images[:, 0]
+    x1 = images[:, 1]
+
+    if precomputed is not None:
+        (flow_10f, flow_01f, z0, z1, x0P, x1P, f10P, f01P) = precomputed
+    else:
+        flow_10f = upscale * resize_2d(flow_10, (H, W), "bilinear")
+        flow_01f = upscale * resize_2d(flow_01, (H, W), "bilinear")
+        z0, z1 = z_metrics(p, x0, x1, flow_10f, flow_01f, fast=True)
+        x0P, x1P = _planes_batch(x0), _planes_batch(x1)
+        f10P, f01P = _planes_batch(flow_10f), _planes_batch(flow_01f)
+
+    # forward-warped candidates (u-plane softmax splats)
+    warped0P = softsplat_fast_planes(x0, tb * flow_01f, z0)
+    warped1P = softsplat_fast_planes(x1, (1.0 - tb) * flow_10f, z1)
+
+    # flow composition at the (smooth) feature grid + full-res analytic
+    # mask — the fast path's low-res flowback (see `synthesize`)
+    fb0 = bwarp_fast(flow_10 * tb, (1.0 - tb) * flow_01, False)
+    fb1 = bwarp_fast(flow_01 * (1.0 - tb), tb * flow_10, False)
+
+    def up(f):
+        return upscale * resize_2d(f, (H, W), "bilinear")
+
+    flowback_0 = up(fb0) * _bwarp_ones_mask((1.0 - tb) * flow_01f)
+    flowback_1 = up(fb1) * _bwarp_ones_mask(tb * flow_10f)
+    im0P = bwarp_fast(x0, flowback_0, planes_out=True)
+    im1P = bwarp_fast(x1, flowback_1, planes_out=True)
+
+    # per-t packed flows: scalar multiples of the per-pair plane fields
+    ft0P = tb * f01P
+    ft1P = (1.0 - tb) * f10P
+    fb0P, fb1P = _planes_batch(flowback_0), _planes_batch(flowback_1)
+
+    def cells(P, u, k):
+        """Plane u of a [B, 4, Hp4, W·k] tensor as [B, Hp4, Wp4, 4, k]."""
+        return P[:, u].reshape(B, Hp4, Wp4, 4, k)
+
+    # cell-major s2d4 channel order (u·4+v)·26 + ch: per-u 104-ch blocks
+    # concatenated along the channel axis. Pieces cast to compute_dtype
+    # BEFORE the concat (it is the UNet operand materialization).
+    comps = ((x0P, 3), (x1P, 3), (warped0P, 3), (warped1P, 3), (ft0P, 2),
+             (ft1P, 2), (fb0P, 2), (fb1P, 2), (im0P, 3), (im1P, 3))
+    ublocks = []
+    for u in range(4):
+        blk = jnp.concatenate(
+            [cells(P, u, k).astype(compute_dtype) for P, k in comps], -1)
+        ublocks.append(blk.reshape(B, Hp4, Wp4, 4 * 26))
+    refine_in = jnp.concatenate(ublocks, -1)              # [B,Hp4,Wp4,416]
+    out = refine_unet_s2d_core(p["refine"], refine_in)
+    out = out.astype(jnp.float32)                         # [B,Hp4,Wp4,96]
+
+    T = p["T_param"].astype(jnp.float32)
+    tb5 = t.reshape(B, 1, 1, 1, 1).astype(jnp.float32)
+    out_planes = []
+    for u in range(4):
+        occ = jax.nn.softmax(
+            out[..., u * 24:u * 24 + 24].reshape(B, Hp4, Wp4, 4, 6)[..., :6]
+            / T, axis=-1)
+        w0 = (1 - tb5) * occ[..., 0:1]
+        w1 = tb5 * occ[..., 1:2]
+        w2 = (1 - tb5) * occ[..., 2:3]
+        w3 = tb5 * occ[..., 3:4]
+        w4 = (1 - tb5) * occ[..., 4:5]
+        w5 = tb5 * occ[..., 5:6]
+        divisor = w0 + w1 + w2 + w3 + w4 + w5
+        out_u = (w0 * cells(warped0P, u, 3) + w1 * cells(warped1P, u, 3)
+                 + w2 * cells(im0P, u, 3) + w3 * cells(im1P, u, 3)
+                 + w4 * cells(x0P, u, 3) + w5 * cells(x1P, u, 3)) / divisor
+        out_planes.append(out_u.reshape(B, Hp4, W * 3))
+
+    outP = jnp.stack(out_planes, axis=1)                  # [B,4,Hp4,W·3]
+    out_full = jnp.stack(
+        [interleave_planes(outP[b]) for b in range(B)], 0)
+    return out_full.reshape(B, H, W, 3), flow_refine, None, None
+
+
 # ---------------------------------------------------------------------------
 # top-level forward (DCTXVFInet.forward, fLDRnet.py:106-223)
 # ---------------------------------------------------------------------------
@@ -462,10 +605,19 @@ def forward_flow(params: Params, cfg: FLDRConfig,
     return flow
 
 
+def _packed_enabled(cfg: FLDRConfig) -> bool:
+    return (getattr(cfg, "fast_warp", False)
+            and getattr(cfg, "packed_synth", True))
+
+
 def flow_extras(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
                 images: jnp.ndarray):
     """The remaining t-independent synthesis work: full-res flow upscales and
-    the z importance metrics. Hoisted out of the per-t loop in multi-t mode."""
+    the z importance metrics. Hoisted out of the per-t loop in multi-t mode.
+
+    In packed-synthesis mode also packs the t-independent full-res tensors
+    once per pair (cell-major s2d4): the frames and the endpoint flows —
+    every per-t packed flow is then a scalar multiple of these."""
     fast = getattr(cfg, "fast_warp", False)
     flow = flow.astype(jnp.float32)
     images = images.astype(jnp.float32)
@@ -475,6 +627,10 @@ def flow_extras(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
     flow_01 = upscale * resize_2d(flow[..., 2:4], (H, W), "bilinear")
     z0, z1 = z_metrics(params["vfinet"], images[:, 0], images[:, 1],
                        flow_10, flow_01, fast)
+    if _packed_enabled(cfg) and can_use_packed(flow, images):
+        x0P, x1P = _planes_batch(images[:, 0]), _planes_batch(images[:, 1])
+        f10P, f01P = _planes_batch(flow_10), _planes_batch(flow_01)
+        return (flow_10, flow_01, z0, z1, x0P, x1P, f10P, f01P)
     return (flow_10, flow_01, z0, z1)
 
 
@@ -487,10 +643,17 @@ def forward_synthesis(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
     t-independent extras from `flow_extras`)."""
     fast = getattr(cfg, "fast_warp", False)
     with jax.named_scope("synthesis"):
-        out, _, _, _ = synthesize(params["vfinet"], flow.astype(jnp.float32),
-                                  images.astype(jnp.float32), t, fast=fast,
-                                  precomputed=precomputed,
-                                  compute_dtype=compute_dtype)
+        if (fast and _packed_enabled(cfg) and can_use_packed(flow, images)
+                and (precomputed is None or len(precomputed) == 8)):
+            out, _, _, _ = synthesize_packed(
+                params["vfinet"], flow, images, t, precomputed=precomputed,
+                compute_dtype=compute_dtype)
+        else:
+            out, _, _, _ = synthesize(
+                params["vfinet"], flow.astype(jnp.float32),
+                images.astype(jnp.float32), t, fast=fast,
+                precomputed=precomputed[:4] if precomputed else None,
+                compute_dtype=compute_dtype)
     if orig_hw is not None:
         out = out[:, :orig_hw[0], :orig_hw[1]]
     return out

@@ -120,6 +120,56 @@ def _tile_unflatten(a: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     return a.reshape(H, W, *lead)
 
 
+# ---------------------------------------------------------------------------
+# u-plane layout (packed-domain synthesis)
+#
+# The u-plane form of a [H, W, C] image is [4, H/4, W·C]: plane u holds rows
+# {y : y % 4 == u} flat. Every 4x4-cell view is then a PURE reshape of a
+# plane (lanes keep the plain row order (4S+v)·C+c), so the s2d4 packing
+# that the refine UNet consumes costs strided row slices + minor-preserving
+# transposes only — never the 10-35 ms (worst case 32x lane-padded) XLA
+# transposes that interleave cells into a channel-minor layout (measured).
+# The warp kernels cooperate: the gather takes coords in "us-order"
+# (u, Rsub, Ssub, v) so its epilogue splits into planes minor-preserved;
+# the splat accumulates its VMEM strip u-major and flushes rows straight
+# into planes. See ops/repack.py for the plain↔planes DMA kernels.
+# ---------------------------------------------------------------------------
+
+def _tile_flatten_us(a: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """[H, W] field → [ntiles, N] with in-tile pixel order (u, Rsub, Ssub, v)
+    (u = r%4, Rsub = r//4, Ssub = s//4, v = s%4). Built from strided row
+    slices so no narrow-minor transpose materializes (measured 7.7 vs 11.2
+    ms for the direct 6-D transpose at 4K)."""
+    ty, tx = H // TILE, W // TILE
+    q = TILE // 4
+    parts = []
+    for u in range(4):
+        p = a[u::4].reshape(ty, q, tx, q, 4)
+        parts.append(jnp.transpose(p, (0, 2, 1, 3, 4)).reshape(ty * tx, -1))
+    return jnp.stack(parts, axis=1).reshape(ty * tx, TILE * TILE)
+
+
+def _tile_planes_us(a: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """[ntiles, N(us-order), C] → u-planes [4, H/4, (W/4)·4·C]. Each plane's
+    transpose keeps a (Ssub, v, C) ≥ 32-element contiguous minor run."""
+    ty, tx = H // TILE, W // TILE
+    q = TILE // 4
+    C = a.shape[-1]
+    a = a.reshape(ty, tx, 4, q, q, 4, C)
+    planes = []
+    for u in range(4):
+        p = jnp.transpose(a[:, :, u], (0, 2, 1, 3, 4, 5))
+        planes.append(p.reshape(H // 4, (W // 4) * 4 * C))
+    return jnp.stack(planes, axis=0)
+
+
+def _planes_from_plain(img: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, C] → [4, H/4, W·C] (fallback-path packing, XLA slices)."""
+    H, W, C = img.shape
+    flat = img.reshape(H, W * C)
+    return jnp.stack([flat[u::4] for u in range(4)], axis=0)
+
+
 def _origins(sx_t, sy_t, H, W, winy, winx, qx, pady, padx):
     """Quantized per-tile window origins, clamped into the padded canvas."""
     cx = jnp.mean(sx_t, axis=1)
@@ -214,15 +264,14 @@ def _gather_kernel(C, winx, K, origins_ref, img_hbm, coords_ref, out_ref,
     for j in range(K):
         rxr = coords_ref[j, 0:1, :]                        # [1, N]
         ryr = coords_ref[j, 1:2, :]
-        # y side stays row-oriented: transposed one-hot RYT [WINY_G, N];
-        # weights stay f32 (bf16 weights amplify through the softmax-splat
+        # y taps via the HAT function too (max(0, 1−|v−ry|)): bitwise equal
+        # to the two-tap one-hot for every pixel of a spill-free tile, and
+        # spilled tiles are overwritten whole by the exact fixup — so the
+        # okyr mask, clip, and fractional split all drop out (the hat
+        # pipeline is the kernel's VPU bottleneck, measured).
+        # Weights stay f32 (bf16 weights amplify through the softmax-splat
         # normalisation downstream) — values round to bf16 once, at the MXU
-        y0r = jnp.floor(ryr)
-        fyr = ryr - y0r
-        y0cr = jnp.clip(y0r, 0, WINY_G - 2).astype(jnp.int32)
-        RYT = ((ivT == y0cr).astype(jnp.float32) * (1.0 - fyr)
-               + (ivT == y0cr + 1).astype(jnp.float32) * fyr)
-        okyr = ((y0r >= 0) & (y0r <= WINY_G - 2)).astype(jnp.float32)
+        RYT = jnp.maximum(0.0, 1.0 - jnp.abs(ivT.astype(jnp.float32) - ryr))
 
         # x side needs column vectors: exact row->col transpose on the MXU
         xcol = jax.lax.dot_general(rxr, one, (((0,), (0,)), ((), ())),
@@ -238,7 +287,7 @@ def _gather_kernel(C, winx, K, origins_ref, img_hbm, coords_ref, out_ref,
         outT = jax.lax.dot_general(M, (t1 * w).astype(jnp.bfloat16),
                                    (((0,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-        out_ref[j] = outT * okyr
+        out_ref[j] = outT
 
 
 def _gather_fast(img_pad2d, rel_coords, origins, n_tiles, C, winx, K):
@@ -321,29 +370,67 @@ def _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C):
         out_t)
 
 
-def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray) -> jnp.ndarray:
+def _bwarp_mask_tiled(sx_t, sy_t, H, W):
+    """The bwarp 0.999 validity mask evaluated on TILED coords [ntiles, N]
+    (sampled all-ones image = Σ in-frame corner weights) — lets the packed
+    gather apply the mask before its epilogue transpose, with no full-res
+    mask tensor materialized."""
+    x0 = jnp.floor(sx_t)
+    y0 = jnp.floor(sy_t)
+    fx = sx_t - x0
+    fy = sy_t - y0
+
+    def valid(xi, yi):
+        return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(
+            sx_t.dtype)
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
+            + valid(x0i + 1, y0i) * fx * (1 - fy)
+            + valid(x0i, y0i + 1) * (1 - fx) * fy
+            + valid(x0i + 1, y0i + 1) * fx * fy)
+    return (ones >= 0.999).astype(sx_t.dtype)
+
+
+def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
+              planes_out: bool = False,
+              bwarp_mask: bool = False) -> jnp.ndarray:
     """Bilinear gather of [H,W,C] `img` at absolute pixel coords sx/sy [H,W]
     (zeros padding) — the tiled fast core shared by bwarp_fast and the
     splat backward pass. Falls back to the exact XLA gather off-TPU or on
-    non-TILE-divisible shapes."""
+    non-TILE-divisible shapes.
+
+    planes_out=True returns the u-plane form [4, H/4, W·C] (the kernel runs
+    with us-ordered coords so the epilogue splits into planes with
+    minor-preserving transposes only); bwarp_mask=True multiplies by the
+    0.999 validity mask in the tiled domain (the bwarp semantics).
+    """
     H, W, C = img.shape
     if (H % TILE or W % TILE or H < TILE or W < TILE
             or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
             or (jax.default_backend() != "tpu" and not _INTERPRET)):
         from .warp import grid_sample_bilinear
-        return grid_sample_bilinear(img[None], sx[None], sy[None])[0]
+        out = grid_sample_bilinear(img[None], sx[None], sy[None])[0]
+        if bwarp_mask:
+            mask = _bwarp_mask_tiled(sx, sy, H, W)
+            out = out * mask[..., None]
+        return _planes_from_plain(out) if planes_out else out
     if C > CHUNK:
         # wide images (e.g. feature-splat cotangents, 48+1 ch) chunk along
         # channels: the one-hot matrices scale with winx*C (VMEM budget)
+        assert not planes_out, "planes_out requires C <= CHUNK"
         return jnp.concatenate(
-            [gather_at(img[..., i:i + CHUNK], sx, sy)
+            [gather_at(img[..., i:i + CHUNK], sx, sy,
+                       bwarp_mask=bwarp_mask)
              for i in range(0, C, CHUNK)], axis=-1)
     cp, winx, qx = _win_geom(C)
     if cp != C:
         img = jnp.pad(img, ((0, 0), (0, 0), (0, cp - C)))
     pady, padx = WINY_G, winx
-    sx_t = _tile_flatten(sx, H, W)
-    sy_t = _tile_flatten(sy, H, W)
+    tf = _tile_flatten_us if planes_out else _tile_flatten
+    sx_t = tf(sx, H, W)
+    sy_t = tf(sy, H, W)
     oy, ox = _origins(sx_t, sy_t, H, W, WINY_G, winx, qx, pady, padx)
     ok_t = _ok_mask(sx_t, sy_t, oy, ox, WINY_G, winx)
     img_pad = jnp.pad(img, ((pady, pady), (padx, padx), (0, 0)))
@@ -358,29 +445,40 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray) -> jnp.ndarray
         origins, n_tiles, cp, winx, K)[..., :C]
     out_t = _tile_gather_fix(img[..., :C], sx_t, sy_t, out_t, ok_t,
                              n_tiles, C)
-    return _tile_unflatten(out_t, H, W)
+    if bwarp_mask:
+        out_t = out_t * _bwarp_mask_tiled(sx_t, sy_t, H, W)[..., None]
+    return (_tile_planes_us(out_t, H, W) if planes_out
+            else _tile_unflatten(out_t, H, W))
 
 
 def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
-               with_mask: bool = True) -> jnp.ndarray:
+               with_mask: bool = True,
+               planes_out: bool = False) -> jnp.ndarray:
     """Drop-in fast replacement for ops.warp.bwarp (inference path).
 
     x: [B, H, W, C] f32; flow: [B, H, W, 2]. Exact semantics (zeros padding,
     0.999 ones-mask threshold). H, W must be TILE-divisible (callers in the
     model guarantee this; otherwise falls back to the XLA path).
+    planes_out=True returns the u-plane form [B, 4, H/4, W·C].
     """
     B, H, W, C = x.shape
     if (H % TILE or W % TILE or H < TILE or W < TILE
             or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
             or (jax.default_backend() != "tpu" and not _INTERPRET)):
         from .warp import bwarp
-        return bwarp(x, flow, with_mask)
+        out = bwarp(x, flow, with_mask)
+        if planes_out:
+            out = jnp.stack([_planes_from_plain(out[b]) for b in range(B)], 0)
+        return out
     in_dtype = x.dtype
     x = x.astype(jnp.float32)
     flow = flow.astype(jnp.float32)
 
     def one(img, fl):
         sx, sy = _sample_coords(fl, H, W)
+        if planes_out:
+            return gather_at(img, sx, sy, planes_out=True,
+                             bwarp_mask=with_mask)
         out = gather_at(img, sx, sy)
         if not with_mask:
             return out
@@ -553,20 +651,161 @@ def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K):
     return acc[OYR_S:OYR_S + H, padx:padx + W]
 
 
+def _splat_kernel_up(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
+                     out_hbm, strip_ref, sems):
+    """Strip-accumulator splat with a u-MAJOR strip that flushes directly
+    into u-planes (see the u-plane layout note above).
+
+    The strip's physical row r' = u·Q + k holds canvas-offset row 4k + u
+    (Q = STRIPH/4): the y one-hot is built against that row→offset map (a
+    free iota transform), row-advance shifts move TILE/4 rows per u-group,
+    and each flush is four 8-row contiguous DMAs into the per-u output
+    planes — every slice stays 8-aligned, every DMA row-contiguous. The
+    hat-form one-hot needs no okx/okyr: sources of spilled tiles are
+    zeroed on the XLA side and re-added exactly by the fixup.
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    spr = tx // K                      # grid steps per tile-row
+    N = coords_ref.shape[2]
+    wC = winx * C
+    Q = STRIPH // 4
+    G = TILE // 4                      # flushed rows per u-group per advance
+
+    @pl.when(i == 0)
+    def _():
+        strip_ref[...] = jnp.zeros_like(strip_ref)
+
+    @pl.when((i % spr == 0) & (i > 0))
+    def _():
+        r = i // spr
+        dst = (r - 1) * G
+        flushes = []
+        for u in range(4):
+            f = pltpu.make_async_copy(
+                strip_ref.at[u * Q:u * Q + G],
+                out_hbm.at[u, pl.ds(pl.multiple_of(dst, 8), G)],
+                sems.at[u])
+            f.start()
+            flushes.append(f)
+        for f in flushes:
+            f.wait()
+        for u in range(4):
+            base = u * Q
+            for c in range((Q - G) // G):
+                strip_ref[base + c * G:base + (c + 1) * G] = (
+                    strip_ref[base + (c + 1) * G:base + (c + 2) * G])
+            strip_ref[base + Q - G:base + Q] = jnp.zeros(
+                (G, strip_ref.shape[1]), jnp.float32)
+
+    # physical strip row u*Q+k ↔ canvas offset 4k+u
+    ivp = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, N), 0)
+    ivT = ((ivp % Q) * 4 + ivp // Q).astype(jnp.float32)
+    ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
+           // C).astype(jnp.float32)
+    eyeC = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)).astype(
+                jnp.float32)
+    one = jnp.ones((1, 1), jnp.float32)
+    rep = (jax.lax.broadcasted_iota(jnp.int32, (C, wC), 1) % C
+           == jax.lax.broadcasted_iota(jnp.int32, (C, wC), 0)).astype(
+               jnp.float32)
+
+    for j in range(K):
+        g = i * K + j
+        colC = pl.multiple_of(origins_ref[g], 128)
+        txr = coords_ref[j, 0:1, :]                       # strip-relative
+        tyr = coords_ref[j, 1:2, :]
+        # hat-form strip one-hot against the u-major row map; no okyr —
+        # spilled-tile sources carry zero vals
+        RYT = jnp.maximum(0.0, 1.0 - jnp.abs(ivT - tyr))
+
+        xcol = jax.lax.dot_general(txr, one, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        CXe = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))
+
+        vals = jax.lax.dot_general(vals_ref[j], eyeC,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+        Ve = jax.lax.dot_general(vals, rep, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+        contrib = jnp.dot(RYT.astype(jnp.bfloat16),
+                          (CXe * Ve).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        strip_ref[:, pl.ds(colC, wC)] = (
+            strip_ref[:, pl.ds(colC, wC)] + contrib)
+
+    @pl.when(i == n - 1)
+    def _():
+        dst = (ty - 1) * G
+        flushes = []
+        for u in range(4):
+            f = pltpu.make_async_copy(
+                strip_ref.at[u * Q:(u + 1) * Q],
+                out_hbm.at[u, pl.ds(pl.multiple_of(dst, 8), Q)],
+                sems.at[u])
+            f.start()
+            flushes.append(f)
+        for f in flushes:
+            f.wait()
+
+
+def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K):
+    """u-plane splat launch: output [4, Hb4, WpC] where plane u, row k is
+    canvas row 4(k − OYR_S/4) + u … i.e. canvas rows y map to
+    (u=y%4, k=y//4 + OYR_S/4); image region rows [OYR_S/4, OYR_S/4 + H/4)."""
+    N = TILE * TILE
+    ty, tx = H // TILE, W // TILE
+    n_tiles = ty * tx
+    padx = winx
+    WpC = (W + 2 * padx) * C
+    Hb4 = (H + STRIPH - TILE) // 4
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles // K,),
+        in_specs=[
+            pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)),     # coords
+            pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)),     # values^T
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((STRIPH, WpC), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    acc = pl.pallas_call(
+        functools.partial(_splat_kernel_up, C, winx, K, tx, ty),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, Hb4, WpC), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=_INTERPRET,
+    )(origins, rel_coords, valsT)
+    # slice to image region: canvas row y ↔ plane y%4, row y//4 + OYR_S/4
+    r0 = OYR_S // 4
+    return acc[:, r0:r0 + H // 4, padx * C:(padx + W) * C]
+
+
 SPLAT_SPILL_TIERS = (8, 64, 512)   # exact-refix capacities (source tiles);
                                    # first tier tiny: real-content splat
                                    # spills are ~8 tiles (measured 4K) and
                                    # each cap costs ~0.1µs/px when chosen
 
 
-def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C):
+def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C,
+                    planes: bool = False):
     """Exact scatter-add for source tiles containing any spilled pixel.
 
     The fast kernel zeroes ALL sources of such tiles; here the tile's 1024
     sources are scatter-added exactly (4 corners, OOB dropped). Tile-level
     compaction avoids a 9.4M-element nonzero; over SPLAT_SPILL_TILES bad
-    tiles falls back to the fully exact XLA splat.
-    """
+    tiles falls back to the fully exact XLA splat. planes=True operates on
+    the u-plane layout [4, H/4, W·C] (target rows remapped)."""
     tile_bad = ~jnp.all(ok_t, axis=1)
     n_bad = jnp.sum(tile_bad)
 
@@ -592,9 +831,14 @@ def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C):
                 (x0i + 1, y0i + 1, fx * fy),
             ):
                 valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-                tgt = jnp.where(valid, yi * W + xi, H * W)
+                if planes:
+                    # u-plane flat row: plane y%4, in-plane row y//4, col x
+                    row = ((yi % 4) * (H // 4) + yi // 4) * W + xi
+                else:
+                    row = yi * W + xi
+                tgt = jnp.where(valid, row, H * W)
                 flat = flat.at[tgt].add(v * w[:, None], mode="drop")
-            return flat.reshape(H, W, C)
+            return flat.reshape(out_fast.shape)
         return fix
 
     def full(o):
@@ -605,7 +849,8 @@ def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C):
         ty = _tile_unflatten(ty_t[..., None], H, W)[..., 0]
         vals = _tile_unflatten(vals_t, H, W)
         flow = jnp.stack([tx - xs[None, :], ty - ys[:, None]], -1)
-        return splat_sum(vals[None], flow[None])[0]
+        res = splat_sum(vals[None], flow[None])[0]
+        return _planes_from_plain(res) if planes else res
 
     t1, t2, t3 = SPLAT_SPILL_TIERS
     return jax.lax.cond(
@@ -650,11 +895,18 @@ def splat_sum_fast(inp: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([one(inp[b], flow[b]) for b in range(B)], 0).astype(in_dtype)
 
 
-def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray:
+def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
+             planes_out: bool = False) -> jnp.ndarray:
     """Bilinear scatter-add of [H,W,C] `vals` to absolute target coords tx/ty
     [H,W] (out-of-frame corners dropped) — the tiled fast core shared by
     splat_sum_fast and the gather backward pass. Falls back to the exact
-    XLA scatter off-TPU or on non-TILE-divisible shapes."""
+    XLA scatter off-TPU or on non-TILE-divisible shapes.
+
+    planes_out=True returns the u-plane form [4, H/4, W·Cp] — NOTE: with
+    channels PADDED to the kernel's quantum Cp (4 or 8); consumers view a
+    plane as [H/4, W, Cp] and slice the real channels (a fused read —
+    materializing the slice would reintroduce the narrow-minor copy the
+    planes form exists to avoid)."""
     H, W, C = vals.shape
     if (H % TILE or W % TILE or H < TILE or W < TILE
             or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
@@ -663,8 +915,15 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray
         xs = jnp.arange(W, dtype=tx.dtype)
         ys = jnp.arange(H, dtype=ty.dtype)
         flow = jnp.stack([tx - xs[None, :], ty - ys[:, None]], -1)
-        return splat_sum(vals[None], flow[None])[0]
+        out = splat_sum(vals[None], flow[None])[0]
+        if planes_out:
+            cp = _win_geom(C, wide=False)[0]
+            if cp != C:
+                out = jnp.pad(out, ((0, 0), (0, 0), (0, cp - C)))
+            return _planes_from_plain(out)
+        return out
     if C > CHUNK:
+        assert not planes_out, "planes_out requires C <= CHUNK"
         outs = [splat_at(vals[..., i:i + CHUNK], tx, ty)
                 for i in range(0, C, CHUNK)]
         return jnp.concatenate(outs, axis=-1)
@@ -688,6 +947,10 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray
     rel = jnp.stack([tx_t - ox[:, None].astype(tx_t.dtype),
                      ty_t - oy[:, None].astype(ty_t.dtype)], axis=1)
     valsT = jnp.moveaxis(vals_masked, 1, 2)               # [ntiles, C, N]
+    if planes_out:
+        out = _splat_fast_planes(valsT, rel, origins, H, W, cp, winx, K)
+        return _tile_splat_fix(out, vals_t, tx_t, ty_t, ok_t,
+                               n_tiles, H, W, cp, planes=True)
     out = _splat_fast(valsT, rel, origins, H, W, cp, winx, K)[..., :C]
     return _tile_splat_fix(out, vals_t[..., :C], tx_t, ty_t, ok_t,
                            n_tiles, H, W, C)
@@ -698,6 +961,39 @@ def softsplat_fast(img: jnp.ndarray, flow: jnp.ndarray,
     """Softmax-splatting wrapper on the fast kernel (ops/splat.py algebra)."""
     from .splat import softsplat
     return softsplat(img, flow, z, splat_fn=splat_sum_fast)
+
+
+def softsplat_fast_planes(img: jnp.ndarray, flow: jnp.ndarray,
+                          z: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Softmax splatting with u-plane output [B, 4, H/4, W·C]: the
+    [0,1]/exp(z)/normalize algebra (softSplat.py:320-352) applied per
+    plane. img [B,H,W,C] (weight channel appended internally — C+1 must
+    land on the kernel channel quantum, i.e. C=3); flow [B,H,W,2];
+    z [B,H,W,1]."""
+    B, H, W, C = img.shape
+    inp01 = (img.astype(jnp.float32) + 1.0) * 0.5
+    if z is None:
+        m = jnp.ones((B, H, W, 1), jnp.float32)
+        weighted = inp01
+    else:
+        m = jnp.exp(z.astype(jnp.float32))
+        weighted = inp01 * m
+    vals = jnp.concatenate([weighted, m], axis=-1)
+    flow = flow.astype(jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+
+    def one(v, fl):
+        tx = xs[None, :] + fl[..., 0]
+        ty = ys[:, None] + fl[..., 1]
+        s = splat_at(v, tx, ty, planes_out=True)     # [4, H/4, W·(C+1)]
+        s = s.reshape(4, H // 4, W, C + 1)
+        norm = s[..., -1:]
+        norm = jnp.where(norm == 0.0, jnp.ones_like(norm), norm)
+        out = (s[..., :-1] / norm - 0.5) * 2.0
+        return out.reshape(4, H // 4, W * C)
+
+    return jnp.stack([one(vals[b], flow[b]) for b in range(B)], 0)
 
 
 # ---------------------------------------------------------------------------

@@ -135,11 +135,19 @@ def warping_loss_endflow(frames: jnp.ndarray, gt: jnp.ndarray, endflow):
             + jnp.mean(jnp.abs(warped_fir - gt)))
 
 
-def orthogonality_loss(ev: jnp.ndarray) -> jnp.ndarray:
-    """0.5·(Σ_{k≠l} EV_k·EV_l)² — the --orthLoss term (main.py:624-651);
-    only added to the total when ≥ 0.1 (caller's rule)."""
+def _orth_offdiag(ev: jnp.ndarray) -> jnp.ndarray:
     g = ev @ ev.T
-    off = jnp.sum(g) - jnp.trace(g)
+    return jnp.sum(g) - jnp.trace(g)
+
+
+def orthogonality_loss(*evs: jnp.ndarray) -> jnp.ndarray:
+    """0.5·(Σ_EVs Σ_{k≠l} EV_k·EV_l)² — the --orthLoss term. The reference
+    accumulates the off-diagonal Gram sums over EVERY entry of model_net.EVs
+    and squares the total once (main.py:624-644); only added to the total
+    when ≥ 0.1 (caller's rule)."""
+    off = jnp.zeros(())
+    for ev in evs:
+        off = off + _orth_offdiag(ev)
     return 0.5 * off ** 2
 
 
@@ -206,7 +214,13 @@ def total_loss(cfg: FLDRConfig, fwd_out: dict, target: jnp.ndarray,
     total = rec + smooth + warp
     orth = jnp.zeros(())
     if cfg.orth_loss and params is not None:
-        orth = orthogonality_loss(params["pca"]["ev"].astype(jnp.float32))
+        # every EV scale contributes (main.py:624-631 loops model_net.EVs):
+        # the shared scale-8 EV plus each per-scale EV when exac_one_ev=False
+        evs = [params["pca"]["ev"].astype(jnp.float32)]
+        if not cfg.exac_one_ev:
+            for k in sorted(params.get("pca_multi", {})):
+                evs.append(params["pca_multi"][k]["ev"].astype(jnp.float32))
+        orth = orthogonality_loss(*evs)
         total = total + jnp.where(orth >= 0.1, orth, 0.0)   # caller's ≥0.1 rule
     # per-batch PSNR on [0,1]-denormed frames (main.py:670-673; skimage
     # peak_signal_noise_ratio with data_range=1 == 10·log10(1/mse))

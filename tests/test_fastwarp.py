@@ -70,6 +70,46 @@ def test_softsplat_wrapper(data):
                                softsplat(x, small, z), atol=10 * TOL)
 
 
+def _unplanes(P, C):
+    """Invert the u-plane form [B, 4, H/4, W·C] → [B, H, W, C]."""
+    B, _, Hp4, WC = P.shape
+    W = WC // C
+    s = jnp.stack([P[:, 0], P[:, 1], P[:, 2], P[:, 3]], axis=2)
+    return s.reshape(B, Hp4 * 4, W, C)
+
+
+def test_planes_outputs_match_plain(data):
+    """planes_out is a pure layout permutation of the plain fast output —
+    identical through kernels AND spill fixups (the planes kernel variants
+    use the hat-form one-hots, bitwise equal on spill-free tiles)."""
+    x, small, big = data
+    rng = np.random.RandomState(3)
+    z = jnp.asarray(rng.rand(1, 128, 192, 1).astype(np.float32) * 0.5)
+    for fl in (small, big):
+        np.testing.assert_allclose(
+            np.asarray(fastwarp.bwarp_fast(x, fl)),
+            np.asarray(_unplanes(fastwarp.bwarp_fast(x, fl,
+                                                     planes_out=True), 3)),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(fastwarp.softsplat_fast(x, fl, z)),
+            np.asarray(_unplanes(fastwarp.softsplat_fast_planes(x, fl, z),
+                                 3)),
+            atol=1e-5)
+
+
+def test_planes_fallback_on_odd_shapes():
+    """Non-tile-divisible (but 4-divisible) shapes take the exact fallback
+    and still produce the u-plane layout."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(1, 40, 48, 3).astype(np.float32))
+    fl = jnp.asarray(rng.randn(1, 40, 48, 2).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(_unplanes(fastwarp.bwarp_fast(x, fl, planes_out=True),
+                             3)),
+        np.asarray(bwarp(x, fl)), atol=1e-6)
+
+
 def test_fallback_on_odd_shapes():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.rand(1, 30, 50, 3).astype(np.float32))

@@ -119,6 +119,38 @@ def test_init_params_forward_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_synthesize_packed_matches_fast():
+    """The packed-domain synthesis is the plain fast path under a layout
+    permutation; the only numeric difference is scalar-t multiplication
+    order through the linear resize (boundary-pixel corner flips), so the
+    deviation PSNR must stay above 90 dB."""
+    import jax
+    from fldrx.model.fldrnet import (can_use_packed, flow_extras,
+                                     init_params, synthesize,
+                                     synthesize_packed)
+
+    cfg = papermodel().replace(fast_warp=True, packed_synth=True)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(5)
+    B, H, W = 1, 768, 1024
+    images = jnp.asarray((rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32))
+    flow_l = jnp.asarray((rng.rand(B, H // 8, W // 8, 4) * 6 - 3)
+                         .astype(np.float32))
+    t = jnp.full((B, 1), 0.375, jnp.float32)
+    assert can_use_packed(flow_l, images)
+
+    out_plain, fr_p, _, _ = synthesize(params["vfinet"], flow_l, images, t,
+                                       fast=True)
+    extras = flow_extras(params, cfg, flow_l, images)
+    assert len(extras) == 8
+    out_packed, fr_q, _, _ = synthesize_packed(params["vfinet"], flow_l,
+                                               images, t, precomputed=extras)
+    np.testing.assert_array_equal(np.asarray(fr_p), np.asarray(fr_q))
+    mse = float(np.mean((np.asarray(out_plain - out_packed) / 2) ** 2))
+    psnr = -10 * np.log10(max(mse, 1e-30))
+    assert psnr > 90.0, psnr
+
+
 def test_refine_unet_s2d_matches_plain():
     """Space-to-depth UNet is a weight-exact repacking of refine_unet:
     outputs match to float-roundoff at any %4 shape."""
