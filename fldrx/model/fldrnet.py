@@ -240,12 +240,14 @@ def _warp_fns(fast: bool):
 
 def level_flow(p: Params, feat: jnp.ndarray,
                flow_prev: Optional[jnp.ndarray],
-               fast: bool = False) -> jnp.ndarray:
+               fast: bool = False, fused: bool = False) -> jnp.ndarray:
     """One DCTVFInet flow step on PCA features.
 
     feat: [B, h, w, 96]; split at 48 exactly as feat_x.reshape(B,2,48,...)
     (fLDRnet.py:368) — a frame-mixing split the trained weights expect.
     Returns flow [B, h, w, 4] = (flow_10_x, flow_10_y, flow_01_x, flow_01_y).
+    fused=True (inference fast path) runs both 48-ch feature warps in one
+    multi-problem splat launch.
     """
     _, ssplat = _warp_fns(fast)
     half = feat.shape[-1] // 2
@@ -259,8 +261,13 @@ def level_flow(p: Params, feat: jnp.ndarray,
     h, w = feat.shape[1], feat.shape[2]
     prev = jax.lax.stop_gradient(flow_prev)
     up = resize_2d(prev, (h, w), "bilinear") * (w / flow_prev.shape[2])
-    warped1 = ssplat(feat1, up[..., 0:2])
-    warped0 = ssplat(feat0, up[..., 2:4])
+    if fused and fast:
+        from ..ops.fastwarp import softsplat_fused_many
+        warped1, warped0 = softsplat_fused_many(
+            [(feat1, up[..., 0:2], None), (feat0, up[..., 2:4], None)])
+    else:
+        warped1 = ssplat(feat1, up[..., 0:2])
+        warped0 = ssplat(feat0, up[..., 2:4])
     a = conv2d(p["conv_flow1"], jnp.concatenate([feat0, warped1], -1))
     b = conv2d(p["conv_flow1"], jnp.concatenate([feat1, warped0], -1))
     tmp = _seq_conv_relu(p["conv_flow2"], jnp.concatenate([a, b, up], -1))
@@ -299,14 +306,31 @@ def _bwarp_ones_mask(flow: jnp.ndarray) -> jnp.ndarray:
     return (ones >= 0.999).astype(flow.dtype)[..., None]
 
 
-def z_metrics(p: Params, x0, x1, flow_10, flow_01, fast: bool = False):
+def z_metrics(p: Params, x0, x1, flow_10, flow_01, fast: bool = False,
+              fused: bool = False):
     """Softsplat importance metrics z0/z1 (fLDRnet.py:439-446) — t-independent,
-    so the multi-t path hoists them out of the per-t synthesis."""
-    bw, _ = _warp_fns(fast)
+    so the multi-t path hoists them out of the per-t synthesis. fused=True
+    runs both backward warps in one fused gather launch (fast path only)."""
     z_alpha = p["z_alpha"].astype(x0.dtype)
-    im_1_0 = bw(x1, flow_01)
+    if fused and fast:
+        from ..ops.fastwarp import _sample_coords, gather_multi
+        B, H, W, _ = x0.shape
+        outs0, outs1 = [], []
+        for b in range(B):
+            sx1, sy1 = _sample_coords(flow_01[b], H, W)
+            sx0, sy0 = _sample_coords(flow_10[b], H, W)
+            g10, g01 = gather_multi(
+                [x0[b], x1[b]],
+                [(1, sx1, sy1, True), (0, sx0, sy0, True)])
+            outs0.append(g10)
+            outs1.append(g01)
+        im_1_0 = jnp.stack(outs0, 0)
+        im_0_1 = jnp.stack(outs1, 0)
+    else:
+        bw, _ = _warp_fns(fast)
+        im_1_0 = bw(x1, flow_01)
+        im_0_1 = bw(x0, flow_10)
     z0 = jnp.mean(z_alpha[0] * jnp.abs(x0 - im_1_0), axis=-1, keepdims=True)
-    im_0_1 = bw(x0, flow_10)
     z1 = jnp.mean(z_alpha[1] * jnp.abs(x1 - im_0_1), axis=-1, keepdims=True)
     return z0, z1
 
@@ -462,7 +486,7 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
 
     Inference-only: no custom VJP is attached (training uses `synthesize`).
     """
-    from ..ops.fastwarp import bwarp_fast, softsplat_fast_planes
+    from ..ops.fastwarp import _sample_coords, gather_multi, splat_multi
     from ..ops.repack import interleave_planes
 
     B = flow_l.shape[0]
@@ -474,8 +498,9 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     flow_refine = jnp.concatenate([tb * flow_01, (1.0 - tb) * flow_10], -1)
 
     H, W = images.shape[2], images.shape[3]
+    h, w = flow_l.shape[1], flow_l.shape[2]
     Hp4, Wp4 = H // 4, W // 4
-    upscale = H // flow_l.shape[1]
+    upscale = H // h
     x0 = images[:, 0]
     x1 = images[:, 1]
 
@@ -484,26 +509,74 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     else:
         flow_10f = upscale * resize_2d(flow_10, (H, W), "bilinear")
         flow_01f = upscale * resize_2d(flow_01, (H, W), "bilinear")
-        z0, z1 = z_metrics(p, x0, x1, flow_10f, flow_01f, fast=True)
+        z0, z1 = z_metrics(p, x0, x1, flow_10f, flow_01f, fast=True,
+                           fused=True)
         x0P, x1P = _planes_batch(x0), _planes_batch(x1)
         f10P, f01P = _planes_batch(flow_10f), _planes_batch(flow_01f)
 
-    # forward-warped candidates (u-plane softmax splats)
-    warped0P = softsplat_fast_planes(x0, tb * flow_01f, z0)
-    warped1P = softsplat_fast_planes(x1, (1.0 - tb) * flow_10f, z1)
+    # ---- fused warp launches: both splats share one strip sweep, both
+    # flow compositions share one gather launch, both im_tot gathers share
+    # another (per-launch prologue ~7 ms at 4K, paid once per stage) ----
+    def softsplat_vals(x, z):
+        inp01 = (x + 1.0) * 0.5
+        m = jnp.exp(z)
+        return jnp.concatenate([inp01 * m, m], axis=-1)        # [B,H,W,4]
 
-    # flow composition at the (smooth) feature grid + full-res analytic
-    # mask — the fast path's low-res flowback (see `synthesize`)
-    fb0 = bwarp_fast(flow_10 * tb, (1.0 - tb) * flow_01, False)
-    fb1 = bwarp_fast(flow_01 * (1.0 - tb), tb * flow_10, False)
+    vals0 = softsplat_vals(x0, z0)
+    vals1 = softsplat_vals(x1, z1)
+    flow_t0f = tb * flow_01f
+    flow_t1f = (1.0 - tb) * flow_10f
+    xsF = jnp.arange(W, dtype=jnp.float32)
+    ysF = jnp.arange(H, dtype=jnp.float32)
+
+    def norm_planes(s):
+        s = s.reshape(4, Hp4, W, 4)
+        nz = s[..., -1:]
+        nz = jnp.where(nz == 0.0, jnp.ones_like(nz), nz)
+        return ((s[..., :-1] / nz - 0.5) * 2.0).reshape(4, Hp4, W * 3)
+
+    # low-res flow composition coords (the fast path's flowback)
+    fbsrc0 = flow_10 * tb
+    fbsrc1 = flow_01 * (1.0 - tb)
+    fbfl0 = (1.0 - tb) * flow_01
+    fbfl1 = tb * flow_10
+
+    w0L, w1L, fb0L, fb1L = [], [], [], []
+    for b in range(B):
+        s0, s1 = splat_multi(
+            [(vals0[b], xsF[None, :] + flow_t0f[b, ..., 0],
+              ysF[:, None] + flow_t0f[b, ..., 1]),
+             (vals1[b], xsF[None, :] + flow_t1f[b, ..., 0],
+              ysF[:, None] + flow_t1f[b, ..., 1])])
+        w0L.append(norm_planes(s0))
+        w1L.append(norm_planes(s1))
+        sx0, sy0 = _sample_coords(fbfl0[b], h, w)
+        sx1, sy1 = _sample_coords(fbfl1[b], h, w)
+        g0, g1 = gather_multi([fbsrc0[b], fbsrc1[b]],
+                              [(0, sx0, sy0, False), (1, sx1, sy1, False)])
+        fb0L.append(g0)
+        fb1L.append(g1)
+    warped0P = jnp.stack(w0L, 0)
+    warped1P = jnp.stack(w1L, 0)
+    fb0 = jnp.stack(fb0L, 0)
+    fb1 = jnp.stack(fb1L, 0)
 
     def up(f):
         return upscale * resize_2d(f, (H, W), "bilinear")
 
     flowback_0 = up(fb0) * _bwarp_ones_mask((1.0 - tb) * flow_01f)
     flowback_1 = up(fb1) * _bwarp_ones_mask(tb * flow_10f)
-    im0P = bwarp_fast(x0, flowback_0, planes_out=True)
-    im1P = bwarp_fast(x1, flowback_1, planes_out=True)
+    im0L, im1L = [], []
+    for b in range(B):
+        sx0, sy0 = _sample_coords(flowback_0[b], H, W)
+        sx1, sy1 = _sample_coords(flowback_1[b], H, W)
+        g0, g1 = gather_multi([x0[b], x1[b]],
+                              [(0, sx0, sy0, True), (1, sx1, sy1, True)],
+                              planes_out=True)
+        im0L.append(g0)
+        im1L.append(g1)
+    im0P = jnp.stack(im0L, 0)
+    im1P = jnp.stack(im1L, 0)
 
     # per-t packed flows: scalar multiples of the per-pair plane fields
     ft0P = tb * f01P
@@ -593,15 +666,16 @@ def forward_flow(params: Params, cfg: FLDRConfig,
     interpolation amortize features+flow across the 7 synthesis calls."""
     S = cfg.S_tst
     fast = getattr(cfg, "fast_warp", False)
+    fused = _packed_enabled(cfg)
     with jax.named_scope("pca_features"):
         feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
     vp = params["vfinet"]
     flow = None
     for level in range(S, 0, -1):
         with jax.named_scope(f"flow_level_{level}"):
-            flow = level_flow(vp, feats[level], flow, fast=fast)
+            flow = level_flow(vp, feats[level], flow, fast=fast, fused=fused)
     with jax.named_scope("flow_level_0"):
-        flow = level_flow(vp, feats[0], flow, fast=fast)
+        flow = level_flow(vp, feats[0], flow, fast=fast, fused=fused)
     return flow
 
 
@@ -625,9 +699,10 @@ def flow_extras(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
     upscale = H // flow.shape[1]
     flow_10 = upscale * resize_2d(flow[..., 0:2], (H, W), "bilinear")
     flow_01 = upscale * resize_2d(flow[..., 2:4], (H, W), "bilinear")
+    packed = _packed_enabled(cfg) and can_use_packed(flow, images)
     z0, z1 = z_metrics(params["vfinet"], images[:, 0], images[:, 1],
-                       flow_10, flow_01, fast)
-    if _packed_enabled(cfg) and can_use_packed(flow, images):
+                       flow_10, flow_01, fast, fused=packed)
+    if packed:
         x0P, x1P = _planes_batch(images[:, 0]), _planes_batch(images[:, 1])
         f10P, f01P = _planes_batch(flow_10), _planes_batch(flow_01)
         return (flow_10, flow_01, z0, z1, x0P, x1P, f10P, f01P)

@@ -451,6 +451,69 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
             else _tile_unflatten(out_t, H, W))
 
 
+def gather_multi(imgs, problems, planes_out=False):
+    """N independent bilinear gathers in ONE kernel launch.
+
+    imgs: list of [H, W, C] source images (same shape); problems: list of
+    (img_idx, sx, sy, bwarp_mask). The padded sources stack vertically in
+    HBM and each problem's window origins carry its image's base row — the
+    kernel is completely unchanged; only the per-launch prologue/epilogue
+    cost is paid once instead of N times (~7 ms each at 4K, measured).
+    Returns a list of per-problem outputs (planes or plain).
+    """
+    H, W, C = imgs[0].shape
+    fallback = (H % TILE or W % TILE or H < TILE or W < TILE
+                or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
+                or (jax.default_backend() != "tpu" and not _INTERPRET))
+    if fallback:
+        return [gather_at(imgs[idx], sx, sy, planes_out=planes_out,
+                          bwarp_mask=m)
+                for idx, sx, sy, m in problems]
+    assert C <= CHUNK
+    cp, winx, qx = _win_geom(C)
+    pady, padx = WINY_G, winx
+    imgs_p = []
+    for img in imgs:
+        if cp != C:
+            img = jnp.pad(img, ((0, 0), (0, 0), (0, cp - C)))
+        imgs_p.append(jnp.pad(img, ((pady, pady), (padx, padx), (0, 0))))
+    Hp, Wp = imgs_p[0].shape[0], imgs_p[0].shape[1]
+    stack = jnp.concatenate(imgs_p, axis=0)            # [n_img·Hp, Wp, cp]
+
+    tf = _tile_flatten_us if planes_out else _tile_flatten
+    n_tiles = (H // TILE) * (W // TILE)
+    K = _pick_k(W // TILE)
+    per = []
+    all_origins, all_rel = [], []
+    for idx, sx, sy, m in problems:
+        sx_t = tf(sx, H, W)
+        sy_t = tf(sy, H, W)
+        oy, ox = _origins(sx_t, sy_t, H, W, WINY_G, winx, qx, pady, padx)
+        ok_t = _ok_mask(sx_t, sy_t, oy, ox, WINY_G, winx)
+        all_origins.append(jnp.stack([oy + idx * Hp, ox], 1).reshape(-1))
+        all_rel.append(jnp.stack(
+            [sx_t - ox[:, None].astype(sx_t.dtype),
+             sy_t - oy[:, None].astype(sy_t.dtype)], axis=1))
+        per.append((idx, sx_t, sy_t, ok_t, m))
+
+    P = len(problems)
+    out_all = _gather_fast(
+        stack.reshape(len(imgs) * Hp, Wp * cp).astype(jnp.bfloat16),
+        jnp.concatenate(all_rel, 0), jnp.concatenate(all_origins, 0),
+        P * n_tiles, cp, winx, K)[..., :C]
+
+    outs = []
+    for pi, (idx, sx_t, sy_t, ok_t, m) in enumerate(per):
+        out_t = out_all[pi * n_tiles:(pi + 1) * n_tiles]
+        out_t = _tile_gather_fix(imgs[idx][..., :C], sx_t, sy_t, out_t,
+                                 ok_t, n_tiles, C)
+        if m:
+            out_t = out_t * _bwarp_mask_tiled(sx_t, sy_t, H, W)[..., None]
+        outs.append(_tile_planes_us(out_t, H, W) if planes_out
+                    else _tile_unflatten(out_t, H, W))
+    return outs
+
+
 def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
                with_mask: bool = True,
                planes_out: bool = False) -> jnp.ndarray:
@@ -651,16 +714,19 @@ def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K):
     return acc[OYR_S:OYR_S + H, padx:padx + W]
 
 
-def _splat_kernel_up(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
-                     out_hbm, strip_ref, sems):
+def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
+                     coords_ref, vals_ref, out_hbm, strip_ref, sems):
     """Strip-accumulator splat with a u-MAJOR strip that flushes directly
-    into u-planes (see the u-plane layout note above).
+    into u-planes (see the u-plane layout note above), processing
+    N_PROBLEMS independent splats in one continuous sweep.
 
     The strip's physical row r' = u·Q + k holds canvas-offset row 4k + u
     (Q = STRIPH/4): the y one-hot is built against that row→offset map (a
     free iota transform), row-advance shifts move TILE/4 rows per u-group,
     and each flush is four 8-row contiguous DMAs into the per-u output
-    planes — every slice stays 8-aligned, every DMA row-contiguous. The
+    planes — every slice stays 8-aligned, every DMA row-contiguous. At a
+    problem boundary the whole strip drains into the previous problem's
+    tail region and resets, so problems never bleed into each other. The
     hat-form one-hot needs no okx/okyr: sources of spilled tiles are
     zeroed on the XLA side and re-added exactly by the fixup.
     """
@@ -671,6 +737,19 @@ def _splat_kernel_up(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
     wC = winx * C
     Q = STRIPH // 4
     G = TILE // 4                      # flushed rows per u-group per advance
+    seg4 = (ty_local * TILE + STRIPH - TILE) // 4   # plane rows per problem
+
+    def full_drain(dst):
+        flushes = []
+        for u in range(4):
+            f = pltpu.make_async_copy(
+                strip_ref.at[u * Q:(u + 1) * Q],
+                out_hbm.at[u, pl.ds(pl.multiple_of(dst, 8), Q)],
+                sems.at[u])
+            f.start()
+            flushes.append(f)
+        for f in flushes:
+            f.wait()
 
     @pl.when(i == 0)
     def _():
@@ -679,24 +758,35 @@ def _splat_kernel_up(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
     @pl.when((i % spr == 0) & (i > 0))
     def _():
         r = i // spr
-        dst = (r - 1) * G
-        flushes = []
-        for u in range(4):
-            f = pltpu.make_async_copy(
-                strip_ref.at[u * Q:u * Q + G],
-                out_hbm.at[u, pl.ds(pl.multiple_of(dst, 8), G)],
-                sems.at[u])
-            f.start()
-            flushes.append(f)
-        for f in flushes:
-            f.wait()
-        for u in range(4):
-            base = u * Q
-            for c in range((Q - G) // G):
-                strip_ref[base + c * G:base + (c + 1) * G] = (
-                    strip_ref[base + (c + 1) * G:base + (c + 2) * G])
-            strip_ref[base + Q - G:base + Q] = jnp.zeros(
-                (G, strip_ref.shape[1]), jnp.float32)
+        lr = r % ty_local
+        p = r // ty_local
+
+        @pl.when(lr == 0)
+        def _():
+            # problem boundary: drain the previous problem's whole strip
+            full_drain((p - 1) * seg4 + (ty_local - 1) * G)
+            strip_ref[...] = jnp.zeros_like(strip_ref)
+
+        @pl.when(lr != 0)
+        def _():
+            dst = p * seg4 + (lr - 1) * G
+            flushes = []
+            for u in range(4):
+                f = pltpu.make_async_copy(
+                    strip_ref.at[u * Q:u * Q + G],
+                    out_hbm.at[u, pl.ds(pl.multiple_of(dst, 8), G)],
+                    sems.at[u])
+                f.start()
+                flushes.append(f)
+            for f in flushes:
+                f.wait()
+            for u in range(4):
+                base = u * Q
+                for c in range((Q - G) // G):
+                    strip_ref[base + c * G:base + (c + 1) * G] = (
+                        strip_ref[base + (c + 1) * G:base + (c + 2) * G])
+                strip_ref[base + Q - G:base + Q] = jnp.zeros(
+                    (G, strip_ref.shape[1]), jnp.float32)
 
     # physical strip row u*Q+k ↔ canvas offset 4k+u
     ivp = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, N), 0)
@@ -740,32 +830,22 @@ def _splat_kernel_up(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
 
     @pl.when(i == n - 1)
     def _():
-        dst = (ty - 1) * G
-        flushes = []
-        for u in range(4):
-            f = pltpu.make_async_copy(
-                strip_ref.at[u * Q:(u + 1) * Q],
-                out_hbm.at[u, pl.ds(pl.multiple_of(dst, 8), Q)],
-                sems.at[u])
-            f.start()
-            flushes.append(f)
-        for f in flushes:
-            f.wait()
+        full_drain((n_problems - 1) * seg4 + (ty_local - 1) * G)
 
 
-def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K):
-    """u-plane splat launch: output [4, Hb4, WpC] where plane u, row k is
-    canvas row 4(k − OYR_S/4) + u … i.e. canvas rows y map to
-    (u=y%4, k=y//4 + OYR_S/4); image region rows [OYR_S/4, OYR_S/4 + H/4)."""
+def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
+                       n_problems=1):
+    """u-plane splat launch over n_problems stacked problems: output
+    [4, n_problems·seg4, WpC]; within a problem's segment, canvas row y
+    lives at plane y%4, segment row y//4 + OYR_S/4."""
     N = TILE * TILE
     ty, tx = H // TILE, W // TILE
-    n_tiles = ty * tx
     padx = winx
     WpC = (W + 2 * padx) * C
-    Hb4 = (H + STRIPH - TILE) // 4
+    seg4 = (H + STRIPH - TILE) // 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles // K,),
+        grid=(n_problems * ty * tx // K,),
         in_specs=[
             pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)),     # coords
             pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)),     # values^T
@@ -777,18 +857,22 @@ def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K):
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_splat_kernel_up, C, winx, K, tx, ty),
+        functools.partial(_splat_kernel_up, C, winx, K, tx, ty, n_problems),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((4, Hb4, WpC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((4, n_problems * seg4, WpC),
+                                       jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=_INTERPRET,
     )(origins, rel_coords, valsT)
-    # slice to image region: canvas row y ↔ plane y%4, row y//4 + OYR_S/4
+    # slice each problem's image region: canvas row y ↔ plane y%4,
+    # segment row y//4 + OYR_S/4
     r0 = OYR_S // 4
-    return acc[:, r0:r0 + H // 4, padx * C:(padx + W) * C]
+    return [acc[:, p * seg4 + r0:p * seg4 + r0 + H // 4,
+                padx * C:(padx + W) * C]
+            for p in range(n_problems)]
 
 
 SPLAT_SPILL_TIERS = (8, 64, 512)   # exact-refix capacities (source tiles);
@@ -948,7 +1032,7 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
                      ty_t - oy[:, None].astype(ty_t.dtype)], axis=1)
     valsT = jnp.moveaxis(vals_masked, 1, 2)               # [ntiles, C, N]
     if planes_out:
-        out = _splat_fast_planes(valsT, rel, origins, H, W, cp, winx, K)
+        out = _splat_fast_planes(valsT, rel, origins, H, W, cp, winx, K)[0]
         return _tile_splat_fix(out, vals_t, tx_t, ty_t, ok_t,
                                n_tiles, H, W, cp, planes=True)
     out = _splat_fast(valsT, rel, origins, H, W, cp, winx, K)[..., :C]
@@ -956,11 +1040,109 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
                            n_tiles, H, W, C)
 
 
+def splat_multi(problems):
+    """N independent bilinear scatter-adds in ONE u-plane kernel launch.
+
+    problems: list of (vals [H,W,C], tx [H,W], ty [H,W]) — same shapes.
+    The kernel sweeps all problems' tiles in one continuous strip pass
+    (per-problem boundary drains), paying the launch prologue once.
+    Returns a list of u-plane outputs [4, H/4, W·Cp] (channels padded to
+    the kernel quantum Cp — see splat_at planes_out)."""
+    H, W, C = problems[0][0].shape
+    fallback = (H % TILE or W % TILE or H < TILE or W < TILE
+                or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
+                or (jax.default_backend() != "tpu" and not _INTERPRET))
+    if fallback:
+        return [splat_at(v, tx, ty, planes_out=True)
+                for v, tx, ty in problems]
+    assert C <= CHUNK
+    cp, winx, qx = _win_geom(C, wide=False)
+    K = _pick_k(W // TILE)
+    padx = winx
+    txn = W // TILE
+    per, all_origins, all_rel, all_valsT = [], [], [], []
+    for vals, tx, ty in problems:
+        if cp != C:
+            vals = jnp.pad(vals, ((0, 0), (0, 0), (0, cp - C)))
+        tx_t = _tile_flatten(tx, H, W)
+        ty_t = _tile_flatten(ty, H, W)
+        vals_t = _tile_flatten(vals, H, W)
+        oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
+        ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
+        tile_ok = jnp.all(ok_t, axis=1)
+        vals_masked = vals_t * tile_ok[:, None, None].astype(vals_t.dtype)
+        all_origins.append((ox + padx) * cp)
+        all_rel.append(jnp.stack(
+            [tx_t - ox[:, None].astype(tx_t.dtype),
+             ty_t - oy[:, None].astype(ty_t.dtype)], axis=1))
+        all_valsT.append(jnp.moveaxis(vals_masked, 1, 2))
+        per.append((vals_t, tx_t, ty_t, ok_t))
+
+    n_tiles = per[0][3].shape[0]
+    outs = _splat_fast_planes(
+        jnp.concatenate(all_valsT, 0), jnp.concatenate(all_rel, 0),
+        jnp.concatenate(all_origins, 0), H, W, cp, winx, K,
+        n_problems=len(problems))
+    return [_tile_splat_fix(o, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, cp,
+                            planes=True)
+            for o, (vals_t, tx_t, ty_t, ok_t) in zip(outs, per)]
+
+
 def softsplat_fast(img: jnp.ndarray, flow: jnp.ndarray,
                    z: jnp.ndarray | None = None) -> jnp.ndarray:
     """Softmax-splatting wrapper on the fast kernel (ops/splat.py algebra)."""
     from .splat import softsplat
     return softsplat(img, flow, z, splat_fn=splat_sum_fast)
+
+
+def softsplat_fused_many(pairs):
+    """Softmax splatting of several (img [B,H,W,C], flow, z|None) problems —
+    wide channels chunked AND all problems batched into ONE multi-problem
+    u-plane launch (the flow recurrence's 48-ch feature warps otherwise pay
+    7 chunk launches × 2 warps per level). Plain outputs; inference only
+    (no VJP). Falls back to per-problem softsplat off-TPU/odd shapes."""
+    from .repack import interleave_planes
+    from .splat import softsplat
+
+    B, H, W, C = pairs[0][0].shape
+    if (H % TILE or W % TILE or H < TILE or W < TILE
+            or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
+            or (jax.default_backend() != "tpu" and not _INTERPRET)):
+        return [softsplat(img, fl, z, splat_fn=splat_sum_fast)
+                for img, fl, z in pairs]
+
+    C1 = C + 1                        # + weight channel
+    Cp = -(-C1 // CHUNK) * CHUNK
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    results = [[] for _ in pairs]
+    for b in range(B):
+        problems = []
+        for img, fl, z in pairs:
+            inp01 = (img[b].astype(jnp.float32) + 1.0) * 0.5
+            if z is None:
+                m = jnp.ones((H, W, 1), jnp.float32)
+                weighted = inp01
+            else:
+                m = jnp.exp(z[b].astype(jnp.float32))
+                weighted = inp01 * m
+            vals = jnp.concatenate([weighted, m], axis=-1)
+            if Cp != C1:
+                vals = jnp.pad(vals, ((0, 0), (0, 0), (0, Cp - C1)))
+            tx = xs[None, :] + fl[b, ..., 0].astype(jnp.float32)
+            ty = ys[:, None] + fl[b, ..., 1].astype(jnp.float32)
+            for i in range(0, Cp, CHUNK):
+                problems.append((vals[..., i:i + CHUNK], tx, ty))
+        outs = splat_multi(problems)
+        ppp = Cp // CHUNK             # problems per pair
+        for pi in range(len(pairs)):
+            chans = [interleave_planes(o).reshape(H, W, -1)[..., :CHUNK]
+                     for o in outs[pi * ppp:(pi + 1) * ppp]]
+            s = jnp.concatenate(chans, -1)
+            norm = s[..., C:C1]
+            norm = jnp.where(norm == 0.0, jnp.ones_like(norm), norm)
+            results[pi].append((s[..., :C] / norm - 0.5) * 2.0)
+    return [jnp.stack(r, 0) for r in results]
 
 
 def softsplat_fast_planes(img: jnp.ndarray, flow: jnp.ndarray,

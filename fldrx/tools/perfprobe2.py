@@ -1,0 +1,201 @@
+"""Ablation profiler for the packed-domain synthesis at 4K (round 3).
+
+Times the REAL chunked multi-t synthesis program and ablated variants (each
+stage stubbed out in turn) so per-stage costs are measured in context —
+standalone microbenches mislead: the relay adds 3-5 ms per call and XLA
+schedules stages differently inside the big program.
+
+Usage: python -u -m fldrx.tools.perfprobe2  (minutes of compile, cached)
+"""
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def natural_frames(H, W, shift=18):
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+
+    def tex(px, py):
+        return (np.sin((xx + px) / 17) * np.cos((yy + py) / 23)
+                + 0.5 * np.sin((xx + px) / 5.3) * np.sin((yy + py) / 7.1))
+
+    f0 = np.stack([tex(0, 0), tex(9, 4), tex(3, 11)], -1)
+    f1 = np.stack([tex(shift, shift * .6), tex(9 + shift, 4 + shift * .6),
+                   tex(3 + shift, 11 + shift * .6)], -1)
+    return np.stack([f0, f1], 0)[None].astype(np.float32) * 0.6
+
+
+def timed(fn, *args, iters=4):
+    r = fn(*args)
+    jax.tree.map(lambda a: float(jnp.sum(a.astype(jnp.float32))), r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.tree.map(lambda a: float(jnp.sum(a.astype(jnp.float32))), r)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    from fldrx.api import prepare_model, DEFAULT_NPZ
+    from fldrx.config import papermodel_test5
+    from fldrx.model import fldrnet as M
+
+    cfg = papermodel_test5().replace(compute_dtype="bfloat16")
+    interp, cfg, _ = prepare_model(DEFAULT_NPZ, cfg)
+    params = interp.params
+    cd = jnp.bfloat16
+
+    frames = jnp.asarray(natural_frames(2160, 4096))
+    flow, padded, extras = interp.precompute_flow(frames)
+    print(f"flow precompute:    {timed(interp._compiled_flow(frames.shape), params, frames):7.1f} ms", flush=True)
+
+    t = jnp.full((1, 1), 0.375, jnp.float32)
+
+    # ablation knobs threaded through a copy of synthesize_packed
+    def synth(params, flow, padded, t, extras, skip=()):
+        import fldrx.model.fldrnet as F
+        p = params["vfinet"]
+        from fldrx.ops.fastwarp import (_sample_coords, gather_multi,
+                                        splat_multi)
+        from fldrx.ops.repack import interleave_planes
+        from fldrx.ops.resize import resize_2d
+        B = 1
+        images = padded.astype(jnp.float32)
+        flow_l = flow.astype(jnp.float32)
+        tb = t.reshape(B, 1, 1, 1)
+        flow_10 = flow_l[..., 0:2]
+        flow_01 = flow_l[..., 2:4]
+        H, W = images.shape[2], images.shape[3]
+        h, w = flow_l.shape[1], flow_l.shape[2]
+        Hp4, Wp4 = H // 4, W // 4
+        upscale = H // h
+        x0, x1 = images[:, 0], images[:, 1]
+        (flow_10f, flow_01f, z0, z1, x0P, x1P, f10P, f01P) = extras
+
+        def softsplat_vals(x, z):
+            m = jnp.exp(z)
+            return jnp.concatenate([(x + 1.0) * 0.5 * m, m], -1)
+
+        xsF = jnp.arange(W, dtype=jnp.float32)
+        ysF = jnp.arange(H, dtype=jnp.float32)
+
+        def norm_planes(s):
+            s = s.reshape(4, Hp4, W, 4)
+            nz = s[..., -1:]
+            nz = jnp.where(nz == 0.0, jnp.ones_like(nz), nz)
+            return ((s[..., :-1] / nz - 0.5) * 2.0).reshape(4, Hp4, W * 3)
+
+        if "splat" in skip:
+            warped0P, warped1P = x0P, x1P
+        else:
+            vals0 = softsplat_vals(x0, z0)
+            vals1 = softsplat_vals(x1, z1)
+            ft0 = tb * flow_01f
+            ft1 = (1.0 - tb) * flow_10f
+            s0, s1 = splat_multi(
+                [(vals0[0], xsF[None] + ft0[0, ..., 0],
+                  ysF[:, None] + ft0[0, ..., 1]),
+                 (vals1[0], xsF[None] + ft1[0, ..., 0],
+                  ysF[:, None] + ft1[0, ..., 1])])
+            warped0P = norm_planes(s0)[None]
+            warped1P = norm_planes(s1)[None]
+
+        if "flowback" in skip:
+            flowback_0 = jnp.zeros((B, H, W, 2), jnp.float32)
+            flowback_1 = flowback_0
+        else:
+            sx0, sy0 = _sample_coords((1.0 - tb[0]) * flow_01[0], h, w)
+            sx1, sy1 = _sample_coords((tb[0]) * flow_10[0], h, w)
+            g0, g1 = gather_multi([(flow_10 * tb)[0], (flow_01 * (1 - tb))[0]],
+                                  [(0, sx0, sy0, False), (1, sx1, sy1, False)])
+            up = lambda f: upscale * resize_2d(f, (H, W), "bilinear")
+            flowback_0 = up(g0[None]) * M._bwarp_ones_mask((1 - tb) * flow_01f)
+            flowback_1 = up(g1[None]) * M._bwarp_ones_mask(tb * flow_10f)
+
+        if "gather" in skip:
+            im0P, im1P = x0P, x1P
+        else:
+            sx0, sy0 = _sample_coords(flowback_0[0], H, W)
+            sx1, sy1 = _sample_coords(flowback_1[0], H, W)
+            g0, g1 = gather_multi([x0[0], x1[0]],
+                                  [(0, sx0, sy0, True), (1, sx1, sy1, True)],
+                                  planes_out=True)
+            im0P, im1P = g0[None], g1[None]
+
+        ft0P = tb * f01P
+        ft1P = (1.0 - tb) * f10P
+        if "fbpack" in skip or "flowback" in skip:
+            fb0P, fb1P = ft0P, ft1P
+        else:
+            fb0P = M._planes_batch(flowback_0)
+            fb1P = M._planes_batch(flowback_1)
+
+        def cells(P, u, k):
+            return P[:, u].reshape(B, Hp4, Wp4, 4, k)
+
+        if "unet" in skip:
+            out = jnp.ones((B, Hp4, Wp4, 96), jnp.float32)
+        else:
+            comps = ((x0P, 3), (x1P, 3), (warped0P, 3), (warped1P, 3),
+                     (ft0P, 2), (ft1P, 2), (fb0P, 2), (fb1P, 2),
+                     (im0P, 3), (im1P, 3))
+            ublocks = []
+            for u in range(4):
+                blk = jnp.concatenate(
+                    [cells(P, u, k).astype(cd) for P, k in comps], -1)
+                ublocks.append(blk.reshape(B, Hp4, Wp4, 104))
+            refine_in = jnp.concatenate(ublocks, -1)
+            out = M.refine_unet_s2d_core(p["refine"], refine_in)
+            out = out.astype(jnp.float32)
+
+        T = p["T_param"].astype(jnp.float32)
+        tb5 = t.reshape(B, 1, 1, 1, 1)
+        if "blend" in skip:
+            return out
+        planes = []
+        for u in range(4):
+            occ = jax.nn.softmax(
+                out[..., u * 24:u * 24 + 24].reshape(B, Hp4, Wp4, 4, 6) / T,
+                -1)
+            w0 = (1 - tb5) * occ[..., 0:1]
+            w1 = tb5 * occ[..., 1:2]
+            w2 = (1 - tb5) * occ[..., 2:3]
+            w3 = tb5 * occ[..., 3:4]
+            w4 = (1 - tb5) * occ[..., 4:5]
+            w5 = tb5 * occ[..., 5:6]
+            div = w0 + w1 + w2 + w3 + w4 + w5
+            ou = (w0 * cells(warped0P, u, 3) + w1 * cells(warped1P, u, 3)
+                  + w2 * cells(im0P, u, 3) + w3 * cells(im1P, u, 3)
+                  + w4 * cells(x0P, u, 3) + w5 * cells(x1P, u, 3)) / div
+            planes.append(ou.reshape(B, Hp4, W * 3))
+        outP = jnp.stack(planes, 1)
+        if "interleave" in skip:
+            return outP
+        return interleave_planes(outP[0]).reshape(B, H, W, 3)
+
+    variants = [
+        ("full", ()),
+        ("-splat", ("splat",)),
+        ("-gather", ("gather",)),
+        ("-flowback", ("flowback",)),
+        ("-fbpack", ("fbpack",)),
+        ("-unet", ("unet",)),
+        ("-blend+il", ("blend",)),
+        ("-interleave", ("interleave",)),
+        ("warps only", ("unet", "blend")),
+    ]
+    base = None
+    for name, skip in variants:
+        f = jax.jit(partial(synth, skip=skip))
+        ms = timed(f, params, flow, padded, t, extras)
+        delta = "" if base is None else f"  (Δ {base - ms:+6.1f})"
+        if base is None:
+            base = ms
+        print(f"{name:12s}: {ms:7.1f} ms{delta}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,43 @@ def test_planes_fallback_on_odd_shapes():
         np.asarray(bwarp(x, fl)), atol=1e-6)
 
 
+def test_splat_multi_matches_single(data):
+    """The fused multi-problem splat (one continuous strip sweep with
+    boundary drains) must equal per-problem splat_at planes output."""
+    x, small, big = data
+    H, W = 128, 192
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    probs = []
+    for fl in (small, big):
+        probs.append((x[0], xs + fl[0, ..., 0], ys + fl[0, ..., 1]))
+    outs = fastwarp.splat_multi(probs)
+    for (v, tx, ty), o in zip(probs, outs):
+        ref = fastwarp.splat_at(v, tx, ty, planes_out=True)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=1e-5)
+
+
+def test_gather_multi_matches_single(data):
+    """The fused multi-problem gather (stacked source images, offset
+    origins) must equal per-problem gather_at."""
+    x, small, big = data
+    H, W = 128, 192
+    x2 = jnp.flip(x, axis=2)
+    imgs = [x[0], x2[0]]
+    probs = []
+    for idx, fl in ((0, small), (1, big), (1, small)):
+        sx, sy = fastwarp._sample_coords(fl[0], H, W)
+        probs.append((idx, sx, sy, idx == 1))
+    for planes in (False, True):
+        outs = fastwarp.gather_multi(imgs, probs, planes_out=planes)
+        for (idx, sx, sy, m), o in zip(probs, outs):
+            ref = fastwarp.gather_at(imgs[idx], sx, sy, planes_out=planes,
+                                     bwarp_mask=m)
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                       atol=1e-5)
+
+
 def test_fallback_on_odd_shapes():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.rand(1, 30, 50, 3).astype(np.float32))
