@@ -80,10 +80,16 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
              stop_at: int = -1, save_dir: Optional[str] = None,
              verbose: bool = True, half_res: bool = False,
              jump_to: int = -1, compute_metrics: bool = True,
-             xvfi_psnr: bool = False) -> EvalResult:
+             xvfi_psnr: bool = False,
+             parallel_eval=None) -> EvalResult:
     """compute_metrics=False is the reference's test_custom phase
     (main.py:891: predictions written, no PSNR/SSIM — no GT assumed);
-    xvfi_psnr selects the XVFI RMSE formula (--XVFIPSNR, utils.py:644-659)."""
+    xvfi_psnr selects the XVFI RMSE formula (--XVFIPSNR, utils.py:644-659).
+
+    parallel_eval: optional multi-chip callable
+    (frames [1,2,H,W,3], t_values) → [T, H, W, 3] built by
+    fldrx.parallel.build_parallel_eval — replaces the single-chip chunked
+    multi-t synthesis for each frame pair (SURVEY §2.9)."""
     multiple = multiple or TEST_MULTIPLES.get(dataset_name, cfg.multiple)
     ds = get_test_dataset(cfg, dataset_name, multiple, validation,
                           half_res=half_res)
@@ -133,13 +139,17 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         inputs = pending[0][1][None, :2]              # [1,2,H,W,C]
         H, W = inputs.shape[2], inputs.shape[3]
         t0 = time.time()
-        flow, padded, extras = interp.precompute_flow(inputs)
-        preds: List[np.ndarray] = []
         ts = [it[2] for it in pending]
-        for k in range(0, len(ts), tchunk):
-            out = interp.synthesize_multi_at(flow, padded, ts[k:k + tchunk],
-                                             (H, W), extras)
-            preds.extend(np.asarray(out)[:, 0])
+        preds: List[np.ndarray] = []
+        if parallel_eval is not None:
+            preds = list(np.asarray(parallel_eval(inputs, ts)))
+        else:
+            flow, padded, extras = interp.precompute_flow(inputs)
+            for k in range(0, len(ts), tchunk):
+                out = interp.synthesize_multi_at(flow, padded,
+                                                 ts[k:k + tchunk],
+                                                 (H, W), extras)
+                preds.extend(np.asarray(out)[:, 0])
         dt = (time.time() - t0) / len(pending)
         for (idx, frames, t, scene), pred in zip(pending, preds):
             pred_time.update(dt)

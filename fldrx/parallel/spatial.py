@@ -289,8 +289,10 @@ def make_t_parallel_eval(params, cfg: FLDRConfig, mesh: Mesh):
     t's locally — no halo exchange, no cross-device communication after the
     flow broadcast, and the Pallas warp engine runs unmodified per device.
 
-    Returns fn(frames [1,2,H,W,3], t_values [T]) → [T, H, W, 3]; T must be a
-    multiple of the device count.
+    Returns fn(frames [1,2,H,W,3], t_values [T]) → [T, H, W, 3]. T need not
+    divide the device count: the t list is padded by repeating its last
+    entry up to the next multiple (the ×8 protocol's 7 t-values on 8
+    devices run as one padded shard each) and the padded outputs dropped.
     """
     from ..model.fldrnet import forward_flow, forward_synthesis
 
@@ -329,11 +331,49 @@ def make_t_parallel_eval(params, cfg: FLDRConfig, mesh: Mesh):
     def call(frames, t_values):
         H, W = frames.shape[2], frames.shape[3]
         ts = np.asarray(t_values, np.float32).reshape(-1)
-        assert ts.shape[0] % n == 0, (ts.shape[0], n)
+        T = ts.shape[0]
+        pad = (-T) % n
+        if pad:
+            ts = np.concatenate([ts, np.repeat(ts[-1:], pad)])
         fr = jax.device_put(jnp.asarray(frames, jnp.float32),
                             NamedSharding(tmesh, P()))
         tsj = jax.device_put(jnp.asarray(ts), NamedSharding(tmesh, P("t")))
         pr = jax.device_put(params, NamedSharding(tmesh, P()))
-        return jitted(pr, fr, tsj)[:, :H, :W]
+        return jitted(pr, fr, tsj)[:T, :H, :W]
 
     return call
+
+
+def build_parallel_eval(params, cfg: FLDRConfig, mode: str = "t",
+                        devices=None, halo: int = 256):
+    """Multi-chip evaluator bridge for `fldrx.eval.evaluator.evaluate`
+    (and the CLI's --mesh flag): returns
+    fn(frames [1,2,H,W,3], t_values) → np [T, H, W, 3].
+
+    mode 't'  — shard the t-values over every device (×N throughput for the
+                ×8 protocol; uneven T is padded);
+    mode 'sp' — width-shard each synthesis over all devices
+                (make_sharded_fast_eval; for frames exceeding one chip's
+                HBM), looping the pair's t-values.
+    """
+    import numpy as _np
+
+    devices = list(devices if devices is not None else jax.devices())
+    if mode == "t":
+        mesh = Mesh(_np.array(devices), ("t",))
+        call = make_t_parallel_eval(params, cfg, mesh)
+
+        def fn(frames, t_values):
+            with mesh:
+                return _np.asarray(call(frames, list(t_values)))
+        return fn
+    if mode == "sp":
+        mesh = Mesh(_np.array(devices).reshape(1, -1), ("dp", "sp"))
+        call = make_sharded_fast_eval(params, cfg, mesh, halo=halo)
+
+        def fn(frames, t_values):
+            with mesh:
+                return _np.concatenate(
+                    [_np.asarray(call(frames, [[tv]])) for tv in t_values], 0)
+        return fn
+    raise ValueError(f"unknown parallel-eval mode: {mode!r}")

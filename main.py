@@ -63,6 +63,14 @@ def parse_args(argv=None):
                    help="converted .npz checkpoint (default: auto-convert)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--mesh", type=str, default=None, choices=["t", "sp"],
+                   help="multi-chip eval: 't' shards the interpolation "
+                        "times over all devices (×N throughput); 'sp' "
+                        "width-shards each synthesis (frames beyond one "
+                        "chip's HBM). Single-chip when omitted.")
+    p.add_argument("--mesh_halo", type=int, default=256,
+                   help="halo columns for --mesh sp (must be a multiple "
+                        "of 32; motion beyond halo-32 px falls back)")
     p.add_argument("--max_steps_per_epoch", type=int, default=None)
     args, unknown = p.parse_known_args(argv)
     if unknown:
@@ -145,6 +153,14 @@ def main(argv=None):
     # test_custom (main.py:891): run the sweep writing predictions only, no
     # ground-truth metrics
     custom = cfg.phase == "test_custom"
+    parallel_eval = None
+    if args.mesh:
+        import jax
+        from fldrx.parallel.spatial import build_parallel_eval
+        parallel_eval = build_parallel_eval(
+            interp.params, cfg, mode=args.mesh, halo=args.mesh_halo)
+        print(f"# multi-chip eval: mode={args.mesh} over "
+              f"{len(jax.devices())} devices")
     print("\n------------------- Final Test starts -------------------")
     for name in cfg.testsets:
         mult = TEST_MULTIPLES.get(name, cfg.multiple)
@@ -155,7 +171,8 @@ def main(argv=None):
                        jump_to=args.jumptotest,
                        compute_metrics=not custom, xvfi_psnr=args.XVFIPSNR,
                        save_dir=cfg.log_dir if (args.save_images or custom)
-                       else None)
+                       else None,
+                       parallel_eval=parallel_eval)
         line = f"Final 4k frames PSNR {name} : {res.psnr:.4}"
         print(line + f"  (SSIM {res.ssim:.4f}, {res.frames_per_sec:.2f} fps)")
         SM.write_info(line)
