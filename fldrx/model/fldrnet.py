@@ -666,7 +666,11 @@ def forward_flow(params: Params, cfg: FLDRConfig,
     interpolation amortize features+flow across the 7 synthesis calls."""
     S = cfg.S_tst
     fast = getattr(cfg, "fast_warp", False)
-    fused = _packed_enabled(cfg)
+    # NOTE: softsplat_fused_many for the feature warps measured SLOWER in
+    # context (flow precompute 156→279 ms: the per-chunk plane interleaves
+    # serialize) — keep the chunked per-level splats until the fused path
+    # emits plain layout without the interleave round-trip
+    fused = False
     with jax.named_scope("pca_features"):
         feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
     vp = params["vfinet"]

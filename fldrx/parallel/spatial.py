@@ -227,13 +227,26 @@ def _synth_local(params, cfg: FLDRConfig, Wg: int, halo: int,
 
 
 def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
-                           halo: int = 256):
+                           halo: int = 256, on_spill: str = "exact",
+                           verbose: bool = True):
     """Width-sharded multi-chip eval KEEPING the Pallas warp engine.
 
     Flow estimation runs replicated (it is 64x smaller than synthesis);
     the full-res field pack shards over 'sp' via the SPMD partitioner; the
     level-0 synthesis runs under shard_map with explicit halo exchange.
-    Returns fn(frames [B,2,H,W,3], t [B,1]) → [B, H, W, 3]."""
+    Returns fn(frames [B,2,H,W,3], t [B,1]) → [B, H, W, 3].
+
+    Shard-spill safety: the fast path is exact only for horizontal
+    displacements within halo − TILE px of a shard edge; beyond that the
+    slab resolves to zero-fill. The jitted program therefore also returns
+    the frame's max horizontal displacement (a cheap max-reduce over every
+    field the shard_map warps consume), and `call` reacts per frame:
+      on_spill='exact' — rerun that frame through the pjit exact path
+                         (XLA-partitioned warps; slow but exact at any
+                         motion), like the single-chip engine's spill
+                         tiers (ops/fastwarp.py discipline);
+      on_spill='warn'  — keep the fast result, print a loud warning.
+    """
     from ..model.fldrnet import forward_flow
 
     nsp = mesh.shape["sp"]
@@ -251,6 +264,12 @@ def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
         pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
         flow = forward_flow(params, cfg.replace(fast_warp=False), pyr)
         pack = _field_pack(params, cfg, flow, frames, t)
+        # max horizontal reach of the shard_map warps: splat targets move
+        # by flow_t*; gather samples by fb* (+2 px margin for the global
+        # p·S/(S−1)−0.5 sampling shift)
+        max_disp = jnp.maximum(
+            jnp.max(jnp.abs(pack[..., 6:10:2])),          # flow_t0x, flow_t1x
+            jnp.max(jnp.abs(pack[..., 12:16:2])) + 2.0)   # fb0x, fb1x
         pack = jax.lax.with_sharding_constraint(
             pack, NamedSharding(mesh, P(None, None, "sp", None)))
         synth = shard_map(
@@ -260,9 +279,10 @@ def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
             out_specs=P(None, None, "sp", None),
             check_rep=False,
         )
-        return synth(pack, t)
+        return synth(pack, t), max_disp
 
     jitted = jax.jit(fn)
+    exact_call = [None]
 
     def call(frames, t):
         H, W = frames.shape[2], frames.shape[3]
@@ -272,7 +292,26 @@ def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
         tt = jax.device_put(jnp.asarray(t, jnp.float32).reshape(-1, 1),
                             NamedSharding(mesh, P()))
         pr = jax.device_put(params, NamedSharding(mesh, P()))
-        return jitted(pr, fr, tt)[:, :H, :W]
+        out, max_disp = jitted(pr, fr, tt)
+        if float(max_disp) > halo - TILE_ALIGN:
+            if on_spill == "exact":
+                if verbose:
+                    print(f"# sharded fast eval: motion {float(max_disp):.0f}"
+                          f" px exceeds halo-{TILE_ALIGN} = "
+                          f"{halo - TILE_ALIGN}; rerunning frame on the "
+                          "exact pjit path", flush=True)
+                if exact_call[0] is None:
+                    # all devices on 'sp' (dp=1): the per-frame fallback
+                    # runs B=1 frames
+                    fb_mesh = Mesh(mesh.devices.reshape(1, -1),
+                                   ("dp", "sp"))
+                    exact_call[0] = make_sharded_eval(params, cfg, fb_mesh)
+                return exact_call[0](frames, t)[:, :H, :W]
+            print(f"# WARNING: sharded fast eval spill — max displacement "
+                  f"{float(max_disp):.0f} px > {halo - TILE_ALIGN} px halo "
+                  f"budget; shard-edge pixels may zero-fill "
+                  f"(on_spill='warn')", flush=True)
+        return out[:, :H, :W]
 
     return call
 

@@ -103,6 +103,48 @@ def test_sharded_fast_eval_matches_unsharded():
         importlib.reload(fastwarp)
 
 
+def test_sharded_fast_eval_spill_fallback():
+    """Motion beyond the halo budget must trigger the exact-path fallback
+    and produce the exact result (VERDICT r2 item 5: no silent shard-edge
+    zero-fill). Uses a tiny halo so ordinary motion exceeds it."""
+    import importlib
+    import os
+
+    os.environ["FLDRX_PALLAS_INTERPRET"] = "1"
+    from fldrx.ops import fastwarp
+    importlib.reload(fastwarp)
+    try:
+        from fldrx.config import papermodel
+        from fldrx.model.fldrnet import forward_test, init_params
+        from fldrx.parallel.mesh import make_mesh
+        from fldrx.parallel.spatial import make_sharded_fast_eval
+        from fldrx.eval.pipeline import build_pyramid
+
+        cfg = papermodel().replace(S_tst=1, S_trn=1, fast_warp=True)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        # strong constant-ish motion: scale z_alpha so flows are nonzero
+        rng = np.random.RandomState(4)
+        H, W = 64, 256
+        frames = (rng.rand(1, 2, H, W, 3) * 2 - 1).astype(np.float32)
+        t = np.full((1, 1), 0.5, np.float32)
+
+        ref_cfg = cfg.replace(fast_warp=False)
+        pyr = build_pyramid(jnp.asarray(frames), ref_cfg, 2)
+        ref = np.asarray(forward_test(params, ref_cfg, pyr,
+                                      jnp.asarray(t)))
+
+        mesh = make_mesh(jax.devices()[:8], dp=2, sp=4)
+        # halo 32 → budget 0 px: ANY motion spills → exact fallback
+        call = make_sharded_fast_eval(params, cfg, mesh, halo=32,
+                                      on_spill="exact", verbose=False)
+        with mesh:
+            got = np.asarray(call(frames, t))
+        np.testing.assert_allclose(got, ref, atol=2e-5)
+    finally:
+        os.environ.pop("FLDRX_PALLAS_INTERPRET", None)
+        importlib.reload(fastwarp)
+
+
 def test_t_parallel_eval_matches_sequential():
     """t-sharded multi-chip eval (SURVEY §2.9 multi-frame throughput mode):
     each device synthesizes its own t-values with the full local pipeline;
