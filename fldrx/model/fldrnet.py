@@ -25,6 +25,7 @@ splitting the last axis at 48.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -162,8 +163,13 @@ def _repack_conv_w(w: jnp.ndarray, pin: int, pout: int, stride: int,
 
 
 def _packed_conv(p: Params, x: jnp.ndarray, pin: int, pout: int,
-                 stride: int, pad: int = 1) -> jnp.ndarray:
+                 stride: int, pad: int = 1, in_perm=None) -> jnp.ndarray:
     w = _repack_conv_w(p["w"], pin, pout, stride, pad).astype(x.dtype)
+    if in_perm is not None:
+        # input channels arrive permuted (e.g. the u-plane synthesis feeds
+        # u-major/component-major order so its concat is all flat-wide
+        # pieces); permuting the weight rows keeps the conv weight-exact
+        w = w[:, :, jnp.asarray(in_perm), :]
     b = jnp.tile(p["b"], pout * pout)
     if x.dtype == jnp.bfloat16:
         # Pallas pixel-rows conv (XLA's conv reaches ~2-5% MXU utilization
@@ -178,13 +184,16 @@ def _packed_conv(p: Params, x: jnp.ndarray, pin: int, pout: int,
     return y + b.astype(x.dtype)
 
 
-def refine_unet_s2d_core(p: Params, xs4: jnp.ndarray) -> jnp.ndarray:
+def refine_unet_s2d_core(p: Params, xs4: jnp.ndarray,
+                         in_perm=None) -> jnp.ndarray:
     """PCARefineUNet on space-to-depth packed tensors (weight-exact):
-    consumes a cell-major s2d4 input [B, H/4, W/4, 16·C] and returns the
-    cell-major s2d4 output [B, H/4, W/4, 16·out] — the packed-domain
+    consumes a cell-major s2d4 input [B, H/4, W/4, 16·C] (or any channel
+    permutation of it given `in_perm` mapping new→cell-major) and returns
+    the cell-major s2d4 output [B, H/4, W/4, 16·out] — the packed-domain
     synthesis path feeds/consumes this directly with no boundary
     transposes (they cost more than the convs themselves, measured)."""
-    e1 = relu(_packed_conv(p["enc1"], xs4, 4, 2, 2))  # s2d2(half), 64ch
+    e1 = relu(_packed_conv(p["enc1"], xs4, 4, 2, 2,
+                           in_perm=in_perm))          # s2d2(half), 64ch
     e2 = relu(_packed_conv(p["enc2"], e1, 2, 1, 2))   # plain quarter, 32ch
     e2p = s2d(e2, 2)                                  # s2d2(quarter), 128ch
     e3 = relu(_packed_conv(p["enc3"], e2p, 2, 1, 2))  # plain eighth, 64ch
@@ -467,6 +476,52 @@ def _planes_batch(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([extract_planes(x[b]) for b in range(x.shape[0])], 0)
 
 
+@functools.lru_cache(maxsize=None)
+def _uorder_perm(ks):
+    """Channel permutation new→cell-major for the u-plane UNet input:
+    new order (u, comp, v, cc) ↔ cell-major (u·4+v)·ΣK + off(comp)+cc."""
+    total = sum(ks)
+    offs = np.concatenate([[0], np.cumsum(ks)[:-1]])
+    perm = []
+    for u in range(4):
+        for off, k in zip(offs, ks):
+            for v in range(4):
+                for cc in range(k):
+                    perm.append((u * 4 + v) * total + off + cc)
+    return np.asarray(perm, np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _upsample_mats(h: int, w: int, out_h: int, out_w: int, C: int):
+    # NUMPY results only: caching jnp arrays created during a trace leaks
+    # tracers across jit boundaries (UnexpectedTracerError)
+    from ..ops.resize import _resize_matrix_np
+    Wh = _resize_matrix_np(h, out_h, "bilinear", False).astype(np.float32)
+    Ww = _resize_matrix_np(w, out_w, "bilinear", False).astype(np.float32)
+    # W2[w·C + c, p·C + c'] = Ww[p, w]·δ(c,c') — flat-wide second contraction
+    W2 = np.kron(Ww, np.eye(C, dtype=np.float32)).T.copy()
+    return Wh, W2
+
+
+def _upsample_to_planes(fb: jnp.ndarray, out_h: int, out_w: int):
+    """Bilinear-resize [B, h, w, C] straight to u-planes
+    [B, 4, out_h/4, out_w·C].
+
+    Row-bitwise-equal to resize_2d (same interpolation matrices, same
+    contraction order and HIGHEST precision; the Kronecker Ww⊗I only adds
+    exact zeros to each sum) — but every materialized tensor is flat-wide,
+    so the planes come without the 4K strided-pack pass."""
+    B, h, w, C = fb.shape
+    Wh_np, W2_np = _upsample_mats(h, w, out_h, out_w, C)
+    Wh, W2 = jnp.asarray(Wh_np), jnp.asarray(W2_np)
+    hp = jax.lax.Precision.HIGHEST
+    t1 = jnp.einsum("oh,bhk->bok", Wh, fb.reshape(B, h, w * C),
+                    precision=hp)
+    planes = [jnp.einsum("bok,kq->boq", t1[:, u::4], W2, precision=hp)
+              for u in range(4)]
+    return jnp.stack(planes, 1)               # [B, 4, out_h/4, out_w·C]
+
+
 def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
                       t: jnp.ndarray, precomputed=None,
                       compute_dtype=jnp.float32):
@@ -561,44 +616,82 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     fb0 = jnp.stack(fb0L, 0)
     fb1 = jnp.stack(fb1L, 0)
 
-    def up(f):
-        return upscale * resize_2d(f, (H, W), "bilinear")
+    # flowback fields upsampled STRAIGHT to u-planes (row-bitwise-equal to
+    # the plain resize) and masked there; the im_tot gather coords tile
+    # straight from the planes — no plain full-res flowback tensor exists
+    def mask_planes(flP):
+        """_bwarp_ones_mask on a plane-form flow [B,4,Hp4,W·2]."""
+        fl = flP.reshape(B, 4, Hp4, W, 2)
+        uoff = jnp.arange(4, dtype=jnp.float32).reshape(1, 4, 1, 1)
+        ys4 = 4.0 * jnp.arange(Hp4, dtype=jnp.float32).reshape(1, 1, Hp4, 1)
+        sx = (xsF[None, None, None, :] + fl[..., 0]) * (W / max(W - 1, 1)) - 0.5
+        sy = (ys4 + uoff + fl[..., 1]) * (H / max(H - 1, 1)) - 0.5
+        x0_ = jnp.floor(sx)
+        y0_ = jnp.floor(sy)
+        fx = sx - x0_
+        fy = sy - y0_
 
-    flowback_0 = up(fb0) * _bwarp_ones_mask((1.0 - tb) * flow_01f)
-    flowback_1 = up(fb1) * _bwarp_ones_mask(tb * flow_10f)
+        def valid(xi, yi):
+            return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(
+                jnp.float32)
+
+        x0i = x0_.astype(jnp.int32)
+        y0i = y0_.astype(jnp.int32)
+        ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
+                + valid(x0i + 1, y0i) * fx * (1 - fy)
+                + valid(x0i, y0i + 1) * (1 - fx) * fy
+                + valid(x0i + 1, y0i + 1) * fx * fy)
+        return (ones >= 0.999).astype(jnp.float32)[..., None]
+
+    fb0P = (upscale * _upsample_to_planes(fb0, H, W)).reshape(
+        B, 4, Hp4, W, 2) * mask_planes((1.0 - tb) * f01P)
+    fb1P = (upscale * _upsample_to_planes(fb1, H, W)).reshape(
+        B, 4, Hp4, W, 2) * mask_planes(tb * f10P)
+
+    from ..ops.fastwarp import tile_us_from_planes
     im0L, im1L = [], []
+    uoff = jnp.arange(4, dtype=jnp.float32).reshape(4, 1, 1)
+    ys4 = 4.0 * jnp.arange(Hp4, dtype=jnp.float32).reshape(1, Hp4, 1)
     for b in range(B):
-        sx0, sy0 = _sample_coords(flowback_0[b], H, W)
-        sx1, sy1 = _sample_coords(flowback_1[b], H, W)
+        def tiled_coords(fbP):
+            sx = (xsF[None, None, :] + fbP[b, ..., 0]) * (
+                W / max(W - 1, 1)) - 0.5
+            sy = (ys4 + uoff + fbP[b, ..., 1]) * (H / max(H - 1, 1)) - 0.5
+            return (tile_us_from_planes(sx, H, W),
+                    tile_us_from_planes(sy, H, W))
+        sx0, sy0 = tiled_coords(fb0P)
+        sx1, sy1 = tiled_coords(fb1P)
         g0, g1 = gather_multi([x0[b], x1[b]],
                               [(0, sx0, sy0, True), (1, sx1, sy1, True)],
-                              planes_out=True)
+                              planes_out=True, coords_tiled=True)
         im0L.append(g0)
         im1L.append(g1)
     im0P = jnp.stack(im0L, 0)
     im1P = jnp.stack(im1L, 0)
+    fb0P = fb0P.reshape(B, 4, Hp4, W * 2)
+    fb1P = fb1P.reshape(B, 4, Hp4, W * 2)
 
     # per-t packed flows: scalar multiples of the per-pair plane fields
     ft0P = tb * f01P
     ft1P = (1.0 - tb) * f10P
-    fb0P, fb1P = _planes_batch(flowback_0), _planes_batch(flowback_1)
 
     def cells(P, u, k):
         """Plane u of a [B, 4, Hp4, W·k] tensor as [B, Hp4, Wp4, 4, k]."""
         return P[:, u].reshape(B, Hp4, Wp4, 4, k)
 
-    # cell-major s2d4 channel order (u·4+v)·26 + ch: per-u 104-ch blocks
-    # concatenated along the channel axis. Pieces cast to compute_dtype
-    # BEFORE the concat (it is the UNet operand materialization).
+    # UNet input in u-major/component-major channel order (u, comp, v, cc):
+    # every concat operand is a pure reshape of a flat-wide plane, so the
+    # 416-ch materialization is one wide write (cell-major interleaving
+    # here measured ~50 ms of 4K narrow-minor copies); enc1's weight rows
+    # are permuted once to match (weight-exact).
     comps = ((x0P, 3), (x1P, 3), (warped0P, 3), (warped1P, 3), (ft0P, 2),
              (ft1P, 2), (fb0P, 2), (fb1P, 2), (im0P, 3), (im1P, 3))
-    ublocks = []
-    for u in range(4):
-        blk = jnp.concatenate(
-            [cells(P, u, k).astype(compute_dtype) for P, k in comps], -1)
-        ublocks.append(blk.reshape(B, Hp4, Wp4, 4 * 26))
-    refine_in = jnp.concatenate(ublocks, -1)              # [B,Hp4,Wp4,416]
-    out = refine_unet_s2d_core(p["refine"], refine_in)
+    refine_in = jnp.concatenate(
+        [P[:, u].reshape(B, Hp4, Wp4, 4 * k).astype(compute_dtype)
+         for u in range(4) for P, k in comps], -1)        # [B,Hp4,Wp4,416]
+    out = refine_unet_s2d_core(p["refine"], refine_in,
+                               in_perm=_uorder_perm(
+                                   tuple(k for _, k in comps)))
     out = out.astype(jnp.float32)                         # [B,Hp4,Wp4,96]
 
     T = p["T_param"].astype(jnp.float32)

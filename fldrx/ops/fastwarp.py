@@ -60,16 +60,20 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = bool(os.environ.get("FLDRX_PALLAS_INTERPRET"))
 
 TILE = 32                  # tile side → N = 1024 rows for the MXU
-WINY_G = 128               # gather window rows (8-quantized adaptive origin
-                           # → guaranteed y-halo ±44; the marginal MXU cost
-                           # of 128 vs 64 rows is ~15% while every spilled
+WINY_G = int(os.environ.get("FLDRX_WINY_G", "128"))
+                           # gather window rows (8-quantized adaptive origin
+                           # → guaranteed y-halo ±(WINY_G−TILE)/2−4; kernel
+                           # MXU cost scales with WINY_G while every spilled
                            # tile costs ~0.1µs/px in the exact fixup tiers)
-WINY_S = 96                # splat window rows (coarse-adaptive strip origin
+WINY_S = int(os.environ.get("FLDRX_WINY_S", "96"))
+                           # splat window rows (coarse-adaptive strip origin
                            # → vertical reach ±(OYR_S−TILE); spills → fixup)
 CHUNK = 8                  # max channels per kernel call (VMEM budget)
 MIN_FAST_PIXELS = 1 << 16  # below this the XLA ops win (kernel/grid overhead
                            # dominates) and compile-time variants multiply
 SPILL_CAP = 1 << 16        # max exactly-fixed spill pixels before fallback
+_WINX_G = int(os.environ.get("FLDRX_WINX_G", "160"))   # gather x window (qx-mult)
+_WINX_S = int(os.environ.get("FLDRX_WINX_S", "128"))   # splat x window (qx-mult)
 
 
 def _pick_k(tx: int) -> int:
@@ -92,9 +96,9 @@ def _win_geom(C: int, wide: bool = True):
     cp = 4 if C <= 4 else 8
     qx = 128 // math.gcd(cp, 128)          # 32 or 16
     if wide:
-        winx = 160 if cp == 4 else 144     # x-halo ±48 after quantization
+        winx = _WINX_G if cp == 4 else 144   # gather x window
     else:
-        winx = 128 if cp == 4 else 112     # x-halo ±32
+        winx = _WINX_S if cp == 4 else 112   # splat x window
     assert (winx * cp) % 128 == 0 and winx % qx == 0
     return cp, winx, qx
 
@@ -149,6 +153,19 @@ def _tile_flatten_us(a: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     return jnp.stack(parts, axis=1).reshape(ty * tx, TILE * TILE)
 
 
+def tile_us_from_planes(pf: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """[4, H/4, W] plane-form field → [ntiles, N] us-order tiled coords —
+    the strided row slices of _tile_flatten_us come pre-separated, so the
+    packed path feeds gather coords straight from plane fields."""
+    ty, tx = H // TILE, W // TILE
+    q = TILE // 4
+    parts = []
+    for u in range(4):
+        p = pf[u].reshape(ty, q, tx, q, 4)
+        parts.append(jnp.transpose(p, (0, 2, 1, 3, 4)).reshape(ty * tx, -1))
+    return jnp.stack(parts, axis=1).reshape(ty * tx, TILE * TILE)
+
+
 def _tile_planes_us(a: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     """[ntiles, N(us-order), C] → u-planes [4, H/4, (W/4)·4·C]. Each plane's
     transpose keeps a (Ssub, v, C) ≥ 32-element contiguous minor run."""
@@ -183,7 +200,8 @@ def _origins(sx_t, sy_t, H, W, winy, winx, qx, pady, padx):
     return oy, ox
 
 
-OYR_S = 96                 # strip back-reach below the tile row (rows)
+OYR_S = int(os.environ.get("FLDRX_OYR_S", "96"))
+                           # strip back-reach below the tile row (rows)
 
 
 def _origins_strip(sx_t, sy_t, tx, W, winy, winx, qx, padx):
@@ -451,24 +469,44 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
             else _tile_unflatten(out_t, H, W))
 
 
-def gather_multi(imgs, problems, planes_out=False):
+def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
     """N independent bilinear gathers in ONE kernel launch.
 
     imgs: list of [H, W, C] source images (same shape); problems: list of
-    (img_idx, sx, sy, bwarp_mask). The padded sources stack vertically in
-    HBM and each problem's window origins carry its image's base row — the
-    kernel is completely unchanged; only the per-launch prologue/epilogue
-    cost is paid once instead of N times (~7 ms each at 4K, measured).
-    Returns a list of per-problem outputs (planes or plain).
+    (img_idx, sx, sy, bwarp_mask) — sx/sy either plain [H, W] fields or
+    PRE-TILED [ntiles, N] coords (us-order when planes_out; the packed
+    path builds them straight from plane fields via tile_us_from_planes).
+    The padded sources stack vertically in HBM and each problem's window
+    origins carry its image's base row — the kernel is completely
+    unchanged; only the per-launch prologue/epilogue cost is paid once
+    instead of N times. Returns a list of per-problem outputs.
     """
     H, W, C = imgs[0].shape
+    n_tiles = (H // TILE) * (W // TILE)
     fallback = (H % TILE or W % TILE or H < TILE or W < TILE
                 or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
                 or (jax.default_backend() != "tpu" and not _INTERPRET))
     if fallback:
-        return [gather_at(imgs[idx], sx, sy, planes_out=planes_out,
-                          bwarp_mask=m)
-                for idx, sx, sy, m in problems]
+        outs = []
+        for idx, sx, sy, m in problems:
+            if coords_tiled:
+                # pre-tiled coords: recover plain fields for the fallback
+                ty_, tx_ = H // TILE, W // TILE
+                q = TILE // 4
+
+                def unt(a):
+                    a = a.reshape(ty_ * tx_, 4, q, q, 4)
+                    ps = []
+                    for u in range(4):
+                        p = a[:, u].reshape(ty_, tx_, q, q, 4)
+                        p = jnp.transpose(p, (0, 2, 1, 3, 4))
+                        ps.append(p.reshape(H // 4, W))
+                    flat = jnp.stack(ps, 1)            # [H/4, 4, W]
+                    return flat.reshape(H, W)
+                sx, sy = unt(sx), unt(sy)
+            outs.append(gather_at(imgs[idx], sx, sy, planes_out=planes_out,
+                                  bwarp_mask=m))
+        return outs
     assert C <= CHUNK
     cp, winx, qx = _win_geom(C)
     pady, padx = WINY_G, winx
@@ -481,13 +519,12 @@ def gather_multi(imgs, problems, planes_out=False):
     stack = jnp.concatenate(imgs_p, axis=0)            # [n_img·Hp, Wp, cp]
 
     tf = _tile_flatten_us if planes_out else _tile_flatten
-    n_tiles = (H // TILE) * (W // TILE)
     K = _pick_k(W // TILE)
     per = []
     all_origins, all_rel = [], []
     for idx, sx, sy, m in problems:
-        sx_t = tf(sx, H, W)
-        sy_t = tf(sy, H, W)
+        sx_t = sx if coords_tiled else tf(sx, H, W)
+        sy_t = sy if coords_tiled else tf(sy, H, W)
         oy, ox = _origins(sx_t, sy_t, H, W, WINY_G, winx, qx, pady, padx)
         ok_t = _ok_mask(sx_t, sy_t, oy, ox, WINY_G, winx)
         all_origins.append(jnp.stack([oy + idx * Hp, ox], 1).reshape(-1))

@@ -1,0 +1,44 @@
+"""Golden-clip 4K quality report for PARITY.md: runs the full test5scales
+×8 protocol on the deterministic golden scene (occlusion + large motion,
+analytic GT) on the current backend for each deployable configuration.
+
+Usage: python -u -m fldrx.tools.goldenclip_report   (real TPU; minutes of
+compile per config on a cold cache)
+"""
+
+import numpy as np
+
+from fldrx.api import prepare_model, DEFAULT_NPZ
+from fldrx.config import papermodel_test5
+from fldrx.eval.goldenclip import golden_pair, golden_psnrs
+from fldrx.ops import metrics
+
+
+def main():
+    H, W = 2160, 4096
+    frames, ts, gts = golden_pair(H, W, 8)
+    avg = 0.5 * (frames[0, 0] + frames[0, 1])
+    base = np.mean([metrics.psnr(metrics.denorm255(g),
+                                 metrics.denorm255(avg)) for g in gts])
+    print(f"naive frame-average baseline: {base:.3f} dB", flush=True)
+
+    configs = [
+        ("strict (fast_warp=False, f32)",
+         dict(fast_warp=False, compute_dtype="float32")),
+        ("fast-f32 (Pallas engine)",
+         dict(fast_warp=True, packed_synth=True,
+              compute_dtype="float32")),
+        ("fast-bf16 (deploy bench cfg)",
+         dict(fast_warp=True, packed_synth=True,
+              compute_dtype="bfloat16")),
+    ]
+    for name, over in configs:
+        cfg = papermodel_test5().replace(**over)
+        interp, cfg, _ = prepare_model(DEFAULT_NPZ, cfg)
+        ps, mean = golden_psnrs(interp, H, W, 8)
+        print(f"{name}: mean {mean:.4f} dB  per-t "
+              f"{np.round(ps, 3).tolist()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,34 +104,46 @@ def main():
             warped1P = norm_planes(s1)[None]
 
         if "flowback" in skip:
-            flowback_0 = jnp.zeros((B, H, W, 2), jnp.float32)
-            flowback_1 = flowback_0
+            fb0P = jnp.zeros((B, 4, Hp4, W * 2), jnp.float32)
+            fb1P = fb0P
+            sxy = None
         else:
             sx0, sy0 = _sample_coords((1.0 - tb[0]) * flow_01[0], h, w)
             sx1, sy1 = _sample_coords((tb[0]) * flow_10[0], h, w)
             g0, g1 = gather_multi([(flow_10 * tb)[0], (flow_01 * (1 - tb))[0]],
                                   [(0, sx0, sy0, False), (1, sx1, sy1, False)])
-            up = lambda f: upscale * resize_2d(f, (H, W), "bilinear")
-            flowback_0 = up(g0[None]) * M._bwarp_ones_mask((1 - tb) * flow_01f)
-            flowback_1 = up(g1[None]) * M._bwarp_ones_mask(tb * flow_10f)
+            fb0 = g0[None]
+            fb1 = g1[None]
+            fb0P5 = (upscale * F._upsample_to_planes(fb0, H, W)).reshape(
+                B, 4, Hp4, W, 2) * 1.0
+            fb1P5 = (upscale * F._upsample_to_planes(fb1, H, W)).reshape(
+                B, 4, Hp4, W, 2) * 1.0
+            fb0P = fb0P5.reshape(B, 4, Hp4, W * 2)
+            fb1P = fb1P5.reshape(B, 4, Hp4, W * 2)
 
-        if "gather" in skip:
+        if "gather" in skip or "flowback" in skip:
             im0P, im1P = x0P, x1P
         else:
-            sx0, sy0 = _sample_coords(flowback_0[0], H, W)
-            sx1, sy1 = _sample_coords(flowback_1[0], H, W)
+            from fldrx.ops.fastwarp import tile_us_from_planes
+            xsF2 = jnp.arange(W, dtype=jnp.float32)
+            uoff = jnp.arange(4, dtype=jnp.float32).reshape(4, 1, 1)
+            ys4 = 4.0 * jnp.arange(Hp4, dtype=jnp.float32).reshape(1, Hp4, 1)
+
+            def tiled_coords(fbP5):
+                sx = (xsF2[None, None, :] + fbP5[0, ..., 0]) * (
+                    W / max(W - 1, 1)) - 0.5
+                sy = (ys4 + uoff + fbP5[0, ..., 1]) * (H / max(H - 1, 1)) - 0.5
+                return (tile_us_from_planes(sx, H, W),
+                        tile_us_from_planes(sy, H, W))
+            sx0, sy0 = tiled_coords(fb0P5)
+            sx1, sy1 = tiled_coords(fb1P5)
             g0, g1 = gather_multi([x0[0], x1[0]],
                                   [(0, sx0, sy0, True), (1, sx1, sy1, True)],
-                                  planes_out=True)
+                                  planes_out=True, coords_tiled=True)
             im0P, im1P = g0[None], g1[None]
 
         ft0P = tb * f01P
         ft1P = (1.0 - tb) * f10P
-        if "fbpack" in skip or "flowback" in skip:
-            fb0P, fb1P = ft0P, ft1P
-        else:
-            fb0P = M._planes_batch(flowback_0)
-            fb1P = M._planes_batch(flowback_1)
 
         def cells(P, u, k):
             return P[:, u].reshape(B, Hp4, Wp4, 4, k)
@@ -142,13 +154,12 @@ def main():
             comps = ((x0P, 3), (x1P, 3), (warped0P, 3), (warped1P, 3),
                      (ft0P, 2), (ft1P, 2), (fb0P, 2), (fb1P, 2),
                      (im0P, 3), (im1P, 3))
-            ublocks = []
-            for u in range(4):
-                blk = jnp.concatenate(
-                    [cells(P, u, k).astype(cd) for P, k in comps], -1)
-                ublocks.append(blk.reshape(B, Hp4, Wp4, 104))
-            refine_in = jnp.concatenate(ublocks, -1)
-            out = M.refine_unet_s2d_core(p["refine"], refine_in)
+            refine_in = jnp.concatenate(
+                [P[:, u].reshape(B, Hp4, Wp4, 4 * k).astype(cd)
+                 for u in range(4) for P, k in comps], -1)
+            out = M.refine_unet_s2d_core(
+                p["refine"], refine_in,
+                in_perm=M._uorder_perm(tuple(k for _, k in comps)))
             out = out.astype(jnp.float32)
 
         T = p["T_param"].astype(jnp.float32)
@@ -181,8 +192,7 @@ def main():
         ("-splat", ("splat",)),
         ("-gather", ("gather",)),
         ("-flowback", ("flowback",)),
-        ("-fbpack", ("fbpack",)),
-        ("-unet", ("unet",)),
+                ("-unet", ("unet",)),
         ("-blend+il", ("blend",)),
         ("-interleave", ("interleave",)),
         ("warps only", ("unet", "blend")),
