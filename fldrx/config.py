@@ -90,6 +90,11 @@ class FLDRConfig:
     # f64 has no native TPU support; PCA transform runs in f32 by default with a
     # documented tolerance (SURVEY.md §7 hard-part 3).
     compute_dtype: str = "float32"    # bfloat16 for speed path, float32 for parity
+    # per-stage overrides ("" = follow compute_dtype): the flow/feature path
+    # and the refine UNet have different quality sensitivities — the deploy
+    # config mixes them to stay inside the 0.05 dB parity budget (PARITY.md)
+    flow_dtype: str = ""
+    unet_dtype: str = ""
     param_dtype: str = "float32"
     # Pallas warp engine (ops/fastwarp.py) on the inference path; the exact
     # XLA ops remain the strict-parity path and the fallback for

@@ -471,9 +471,14 @@ def can_use_packed(flow_l: jnp.ndarray, images: jnp.ndarray) -> bool:
 
 
 def _planes_batch(x: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, W, C] → u-planes [B, 4, H/4, W·C] (strided row slices)."""
-    from ..ops.repack import extract_planes
-    return jnp.stack([extract_planes(x[b]) for b in range(x.shape[0])], 0)
+    """[B, H, W, C] → u-planes [B, 4, H/4, W·C] (strided row slices +
+    stack — one wide write; done ONCE PER PAIR in flow_extras because
+    strided-slice VIEWS at use sites do NOT fuse: each consumer
+    materializes its own copy (measured −0.75 fps when the packed
+    synthesis read 32 such views per t)."""
+    B, H, W, C = x.shape
+    flat = x.reshape(B, H, W * C)
+    return jnp.stack([flat[:, u::4] for u in range(4)], axis=1)
 
 
 @functools.lru_cache(maxsize=None)
@@ -559,13 +564,16 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     x0 = images[:, 0]
     x1 = images[:, 1]
 
-    if precomputed is not None:
+    if precomputed is not None and len(precomputed) == 8:
         (flow_10f, flow_01f, z0, z1, x0P, x1P, f10P, f01P) = precomputed
     else:
-        flow_10f = upscale * resize_2d(flow_10, (H, W), "bilinear")
-        flow_01f = upscale * resize_2d(flow_01, (H, W), "bilinear")
-        z0, z1 = z_metrics(p, x0, x1, flow_10f, flow_01f, fast=True,
-                           fused=True)
+        if precomputed is not None:
+            flow_10f, flow_01f, z0, z1 = precomputed[:4]
+        else:
+            flow_10f = upscale * resize_2d(flow_10, (H, W), "bilinear")
+            flow_01f = upscale * resize_2d(flow_01, (H, W), "bilinear")
+            z0, z1 = z_metrics(p, x0, x1, flow_10f, flow_01f, fast=True,
+                               fused=True)
         x0P, x1P = _planes_batch(x0), _planes_batch(x1)
         f10P, f01P = _planes_batch(flow_10f), _planes_batch(flow_01f)
 
@@ -620,11 +628,13 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     # the plain resize) and masked there; the im_tot gather coords tile
     # straight from the planes — no plain full-res flowback tensor exists
     def mask_planes(flP):
-        """_bwarp_ones_mask on a plane-form flow [B,4,Hp4,W·2]."""
+        """_bwarp_ones_mask on a plane-form flow [B,4,Hp4,W·2] (views of
+        the per-pair materialized planes — contiguous reshapes, fused)."""
         fl = flP.reshape(B, 4, Hp4, W, 2)
         uoff = jnp.arange(4, dtype=jnp.float32).reshape(1, 4, 1, 1)
         ys4 = 4.0 * jnp.arange(Hp4, dtype=jnp.float32).reshape(1, 1, Hp4, 1)
-        sx = (xsF[None, None, None, :] + fl[..., 0]) * (W / max(W - 1, 1)) - 0.5
+        sx = (xsF[None, None, None, :] + fl[..., 0]) * (
+            W / max(W - 1, 1)) - 0.5
         sy = (ys4 + uoff + fl[..., 1]) * (H / max(H - 1, 1)) - 0.5
         x0_ = jnp.floor(sx)
         y0_ = jnp.floor(sy)
@@ -671,19 +681,19 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     fb0P = fb0P.reshape(B, 4, Hp4, W * 2)
     fb1P = fb1P.reshape(B, 4, Hp4, W * 2)
 
-    # per-t packed flows: scalar multiples of the per-pair plane fields
-    ft0P = tb * f01P
-    ft1P = (1.0 - tb) * f10P
-
     def cells(P, u, k):
         """Plane u of a [B, 4, Hp4, W·k] tensor as [B, Hp4, Wp4, 4, k]."""
         return P[:, u].reshape(B, Hp4, Wp4, 4, k)
 
     # UNet input in u-major/component-major channel order (u, comp, v, cc):
-    # every concat operand is a pure reshape of a flat-wide plane, so the
-    # 416-ch materialization is one wide write (cell-major interleaving
-    # here measured ~50 ms of 4K narrow-minor copies); enc1's weight rows
-    # are permuted once to match (weight-exact).
+    # every concat operand is either a pure reshape of a flat-wide plane or
+    # a strided row-slice view of a plain tensor, so the 416-ch
+    # materialization is one wide write (cell-major interleaving here
+    # measured ~50 ms of 4K narrow-minor copies); enc1's weight rows are
+    # permuted once to match (weight-exact). The t-scaled flow pieces are
+    # scalar multiples of the plain endpoint-flow slices.
+    ft0P = tb * f01P                  # per-t packed flows: scalar multiples
+    ft1P = (1.0 - tb) * f10P          # of the per-pair plane fields
     comps = ((x0P, 3), (x1P, 3), (warped0P, 3), (warped1P, 3), (ft0P, 2),
              (ft1P, 2), (fb0P, 2), (fb1P, 2), (im0P, 3), (im1P, 3))
     refine_in = jnp.concatenate(
@@ -759,6 +769,7 @@ def forward_flow(params: Params, cfg: FLDRConfig,
     interpolation amortize features+flow across the 7 synthesis calls."""
     S = cfg.S_tst
     fast = getattr(cfg, "fast_warp", False)
+    compute_dtype = _stage_dtype(cfg, "flow_dtype", compute_dtype)
     # NOTE: softsplat_fused_many for the feature warps measured SLOWER in
     # context (flow precompute 156→279 ms: the per-chunk plane interleaves
     # serialize) — keep the chunked per-level splats until the fused path
@@ -781,14 +792,24 @@ def _packed_enabled(cfg: FLDRConfig) -> bool:
             and getattr(cfg, "packed_synth", True))
 
 
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def _stage_dtype(cfg: FLDRConfig, stage: str, default):
+    """Per-stage compute dtype: cfg.flow_dtype / cfg.unet_dtype override
+    the session compute_dtype (PARITY.md mixed-precision policy)."""
+    name = getattr(cfg, stage, "") or ""
+    return _DTYPES.get(name, default)
+
+
 def flow_extras(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
                 images: jnp.ndarray):
     """The remaining t-independent synthesis work: full-res flow upscales and
     the z importance metrics. Hoisted out of the per-t loop in multi-t mode.
 
-    In packed-synthesis mode also packs the t-independent full-res tensors
-    once per pair (cell-major s2d4): the frames and the endpoint flows —
-    every per-t packed flow is then a scalar multiple of these."""
+    (The packed path's per-t u-plane views of the frames and endpoint
+    flows are strided row-slice views of these plain tensors — nothing
+    extra to precompute.)"""
     fast = getattr(cfg, "fast_warp", False)
     flow = flow.astype(jnp.float32)
     images = images.astype(jnp.float32)
@@ -814,9 +835,11 @@ def forward_synthesis(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
     """Level-0 synthesis for one t given precomputed flow (and optionally the
     t-independent extras from `flow_extras`)."""
     fast = getattr(cfg, "fast_warp", False)
+    # compute_dtype only affects the refine UNet inside synthesis — apply
+    # the per-stage override here (PARITY.md mixed-precision policy)
+    compute_dtype = _stage_dtype(cfg, "unet_dtype", compute_dtype)
     with jax.named_scope("synthesis"):
-        if (fast and _packed_enabled(cfg) and can_use_packed(flow, images)
-                and (precomputed is None or len(precomputed) == 8)):
+        if fast and _packed_enabled(cfg) and can_use_packed(flow, images):
             out, _, _, _ = synthesize_packed(
                 params["vfinet"], flow, images, t, precomputed=precomputed,
                 compute_dtype=compute_dtype)

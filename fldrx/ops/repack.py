@@ -32,35 +32,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = bool(os.environ.get("FLDRX_PALLAS_INTERPRET"))
 
-_RING = 8      # DMAs in flight
+_BLK = 32      # output rows per grid step
 
 
-def _interleave_kernel(H, WC, Hp4, planes_ref, out_ref, sem):
+def _interleave_kernel(H, WC, Hp4, planes_ref, out_ref, sems):
     # 1-D refs: Mosaic allows only 8-aligned sublane slices of 2-D HBM
-    # memrefs, but 1-D slices need only 128-lane alignment — WC is a
-    # multiple of 128 for every 4K shape, so whole rows move as one DMA.
-    def dma(i):
-        u = i % 4
-        src = (u * Hp4 + i // 4) * WC
-        return pltpu.make_async_copy(
+    # memrefs, but 1-D slices need only 1024-element alignment — WC is a
+    # multiple of 1024 at the 4K widths, so whole rows move as one DMA.
+    # Grid over 32-row blocks with the row loop UNROLLED: a scalar
+    # fori_loop over all H rows serializes on the scalar core (~14 ms in
+    # context, measured); 32 unrolled in-flight DMAs per step stream at
+    # DMA-engine speed.
+    g = pl.program_id(0)
+    base = g * _BLK
+    dmas = []
+    for j in range(_BLK):
+        i = base + j
+        u = j % 4                       # base is a multiple of 4
+        src = (u * Hp4) * WC + (base // 4 + j // 4) * WC
+        d = pltpu.make_async_copy(
             planes_ref.at[pl.ds(pl.multiple_of(src, 1024), WC)],
             out_ref.at[pl.ds(pl.multiple_of(i * WC, 1024), WC)],
-            sem.at[i % _RING])
-
-    def body(i, c):
-        @pl.when(i >= _RING)
-        def _():
-            dma(i - _RING).wait()
-        dma(i).start()
-        return c
-
-    jax.lax.fori_loop(0, H, body, 0)
-
-    def drain(i, c):
-        dma(i).wait()
-        return c
-
-    jax.lax.fori_loop(max(H - _RING, 0), H, drain, 0)
+            sems.at[j])
+        d.start()
+        dmas.append(d)
+    for d in dmas:
+        d.wait()
 
 
 def interleave_planes(planes: jnp.ndarray) -> jnp.ndarray:
@@ -73,16 +70,17 @@ def interleave_planes(planes: jnp.ndarray) -> jnp.ndarray:
     # 1-D HBM refs tile at 1024 elements: row starts must be provably
     # 1024-divisible, so rows (WC) must be a 1024-multiple (true at the 4K
     # eval widths: 4096*3; others take the XLA fallback)
-    if (WC % 1024) or (jax.default_backend() != "tpu" and not _INTERPRET):
+    if (WC % 1024 or H % _BLK
+            or (jax.default_backend() != "tpu" and not _INTERPRET)):
         s = jnp.stack([planes[0], planes[1], planes[2], planes[3]], axis=1)
         return s.reshape(H, WC)
     out = pl.pallas_call(
         functools.partial(_interleave_kernel, H, WC, Hp4),
-        grid=(1,),
+        grid=(H // _BLK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((H * WC,), planes.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_RING,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_BLK,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), has_side_effects=True),
         interpret=_INTERPRET,
@@ -90,29 +88,22 @@ def interleave_planes(planes: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(H, WC)
 
 
-def _deinterleave_kernel(H, WC, Hp4, img_ref, out_ref, sem):
-    def dma(i):
-        u = i % 4
-        dst = (u * Hp4 + i // 4) * WC
-        return pltpu.make_async_copy(
+def _deinterleave_kernel(H, WC, Hp4, img_ref, out_ref, sems):
+    g = pl.program_id(0)
+    base = g * _BLK
+    dmas = []
+    for j in range(_BLK):
+        i = base + j
+        u = j % 4
+        dst = (u * Hp4 + base // 4 + j // 4) * WC
+        d = pltpu.make_async_copy(
             img_ref.at[pl.ds(pl.multiple_of(i * WC, 1024), WC)],
             out_ref.at[pl.ds(pl.multiple_of(dst, 1024), WC)],
-            sem.at[i % _RING])
-
-    def body(i, c):
-        @pl.when(i >= _RING)
-        def _():
-            dma(i - _RING).wait()
-        dma(i).start()
-        return c
-
-    jax.lax.fori_loop(0, H, body, 0)
-
-    def drain(i, c):
-        dma(i).wait()
-        return c
-
-    jax.lax.fori_loop(max(H - _RING, 0), H, drain, 0)
+            sems.at[j])
+        d.start()
+        dmas.append(d)
+    for d in dmas:
+        d.wait()
 
 
 def extract_planes(img: jnp.ndarray) -> jnp.ndarray:
@@ -122,15 +113,16 @@ def extract_planes(img: jnp.ndarray) -> jnp.ndarray:
     H, W, C = img.shape
     WC = W * C
     flat = img.reshape(H, WC)
-    if (WC % 1024) or (jax.default_backend() != "tpu" and not _INTERPRET):
+    if (WC % 1024 or H % _BLK
+            or (jax.default_backend() != "tpu" and not _INTERPRET)):
         return jnp.stack([flat[u::4] for u in range(4)], axis=0)
     out = pl.pallas_call(
         functools.partial(_deinterleave_kernel, H, WC, H // 4),
-        grid=(1,),
+        grid=(H // _BLK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((H * WC,), img.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_RING,))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_BLK,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), has_side_effects=True),
         interpret=_INTERPRET,
