@@ -107,10 +107,12 @@ class FLDRConfig:
     # plain fast path (layout permutation only). Requires fast_warp.
     packed_synth: bool = True
     # Training via the warp engine's custom VJPs: measured 2.16 s/step vs
-    # 3.75 s on the XLA ops (batch 8, 512², v5e) — but the first compile
-    # takes tens of minutes through the remote TPU compiler (cached across
-    # processes). Opt in for long runs where steady-state speed dominates.
-    fast_warp_train: bool = False
+    # 3.75 s on the XLA ops (batch 8, 512², v5e). Default ON — training is
+    # exactly the long run where steady-state speed dominates; the first
+    # compile takes tens of minutes through the remote TPU compiler but is
+    # cached persistently (~/.cache/fldrx/xla) across processes. Set False
+    # for one-off smoke runs on a cold cache.
+    fast_warp_train: bool = True
 
     # --- paths ---
     checkpoint_dir: str = "./checkpoint_dir"

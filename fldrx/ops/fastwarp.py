@@ -59,10 +59,16 @@ from jax.experimental.pallas import tpu as pltpu
 # interpreter mode lets the CPU test suite exercise the kernel logic
 _INTERPRET = bool(os.environ.get("FLDRX_PALLAS_INTERPRET"))
 
-TILE = 32                  # tile side → N = 1024 rows for the MXU
-WINY_G = int(os.environ.get("FLDRX_WINY_G", "128"))
+TILE = 32                  # splat tile side → N = 1024 rows for the MXU
+GTILE = int(os.environ.get("FLDRX_GTILE", "32"))
+                           # gather tile side: window dims scale with the
+                           # tile (window = tile + 2·halo), so smaller tiles
+                           # cut the one-hot matmul FLOPs — at the price of
+                           # more grid steps and tighter in-tile halos
+_G_DEF = {32: ("128", "160"), 16: ("64", "96")}[GTILE]
+WINY_G = int(os.environ.get("FLDRX_WINY_G", _G_DEF[0]))
                            # gather window rows (8-quantized adaptive origin
-                           # → guaranteed y-halo ±(WINY_G−TILE)/2−4; kernel
+                           # → guaranteed y-halo ±(WINY_G−GTILE)/2−4; kernel
                            # MXU cost scales with WINY_G while every spilled
                            # tile costs ~0.1µs/px in the exact fixup tiers)
 WINY_S = int(os.environ.get("FLDRX_WINY_S", "96"))
@@ -72,7 +78,7 @@ CHUNK = 8                  # max channels per kernel call (VMEM budget)
 MIN_FAST_PIXELS = 1 << 16  # below this the XLA ops win (kernel/grid overhead
                            # dominates) and compile-time variants multiply
 SPILL_CAP = 1 << 16        # max exactly-fixed spill pixels before fallback
-_WINX_G = int(os.environ.get("FLDRX_WINX_G", "160"))   # gather x window (qx-mult)
+_WINX_G = int(os.environ.get("FLDRX_WINX_G", _G_DEF[1]))  # gather x window (qx-mult)
 _WINX_S = int(os.environ.get("FLDRX_WINX_S", "128"))   # splat x window (qx-mult)
 
 
@@ -107,19 +113,21 @@ def _win_geom(C: int, wide: bool = True):
 # tiling helpers (XLA prologue/epilogue)
 # ---------------------------------------------------------------------------
 
-def _tile_flatten(a: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
-    """[H, W, ...] → [ntiles, TILE*TILE, ...] (row-major tiles)."""
-    ty, tx = H // TILE, W // TILE
+def _tile_flatten(a: jnp.ndarray, H: int, W: int,
+                  tile: int = TILE) -> jnp.ndarray:
+    """[H, W, ...] → [ntiles, tile*tile, ...] (row-major tiles)."""
+    ty, tx = H // tile, W // tile
     lead = a.shape[2:]
-    a = a.reshape(ty, TILE, tx, TILE, *lead)
+    a = a.reshape(ty, tile, tx, tile, *lead)
     a = jnp.moveaxis(a, 2, 1)
-    return a.reshape(ty * tx, TILE * TILE, *lead)
+    return a.reshape(ty * tx, tile * tile, *lead)
 
 
-def _tile_unflatten(a: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
-    ty, tx = H // TILE, W // TILE
+def _tile_unflatten(a: jnp.ndarray, H: int, W: int,
+                    tile: int = TILE) -> jnp.ndarray:
+    ty, tx = H // tile, W // tile
     lead = a.shape[2:]
-    a = a.reshape(ty, tx, TILE, TILE, *lead)
+    a = a.reshape(ty, tx, tile, tile, *lead)
     a = jnp.moveaxis(a, 1, 2)
     return a.reshape(H, W, *lead)
 
@@ -144,33 +152,33 @@ def _tile_flatten_us(a: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     (u = r%4, Rsub = r//4, Ssub = s//4, v = s%4). Built from strided row
     slices so no narrow-minor transpose materializes (measured 7.7 vs 11.2
     ms for the direct 6-D transpose at 4K)."""
-    ty, tx = H // TILE, W // TILE
-    q = TILE // 4
+    ty, tx = H // GTILE, W // GTILE
+    q = GTILE // 4
     parts = []
     for u in range(4):
         p = a[u::4].reshape(ty, q, tx, q, 4)
         parts.append(jnp.transpose(p, (0, 2, 1, 3, 4)).reshape(ty * tx, -1))
-    return jnp.stack(parts, axis=1).reshape(ty * tx, TILE * TILE)
+    return jnp.stack(parts, axis=1).reshape(ty * tx, GTILE * GTILE)
 
 
 def tile_us_from_planes(pf: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     """[4, H/4, W] plane-form field → [ntiles, N] us-order tiled coords —
     the strided row slices of _tile_flatten_us come pre-separated, so the
     packed path feeds gather coords straight from plane fields."""
-    ty, tx = H // TILE, W // TILE
-    q = TILE // 4
+    ty, tx = H // GTILE, W // GTILE
+    q = GTILE // 4
     parts = []
     for u in range(4):
         p = pf[u].reshape(ty, q, tx, q, 4)
         parts.append(jnp.transpose(p, (0, 2, 1, 3, 4)).reshape(ty * tx, -1))
-    return jnp.stack(parts, axis=1).reshape(ty * tx, TILE * TILE)
+    return jnp.stack(parts, axis=1).reshape(ty * tx, GTILE * GTILE)
 
 
 def _tile_planes_us(a: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     """[ntiles, N(us-order), C] → u-planes [4, H/4, (W/4)·4·C]. Each plane's
     transpose keeps a (Ssub, v, C) ≥ 32-element contiguous minor run."""
-    ty, tx = H // TILE, W // TILE
-    q = TILE // 4
+    ty, tx = H // GTILE, W // GTILE
+    q = GTILE // 4
     C = a.shape[-1]
     a = a.reshape(ty, tx, 4, q, q, 4, C)
     planes = []
@@ -233,8 +241,8 @@ def _ok_mask(sx_t, sy_t, oy, ox, winy, winx):
 # gather (backward warp)
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(C, winx, K, origins_ref, img_hbm, coords_ref, out_ref,
-                   win_ref, sem):
+def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
+                   out_ref, win_ref, sem):
     """K output tiles per grid step; per-tile window DMAs double-buffered
     across steps (the next step's K windows stream in while this step's
     tiles compute).
@@ -253,11 +261,11 @@ def _gather_kernel(C, winx, K, origins_ref, img_hbm, coords_ref, out_ref,
     n = pl.num_programs(0)
 
     def window_dma(step, slot, j):
-        row = pl.multiple_of(origins_ref[2 * (step * K + j)] + WINY_G, 8)
+        row = pl.multiple_of(origins_ref[2 * (step * K + j)] + winy, 8)
         col = pl.multiple_of(
             (origins_ref[2 * (step * K + j) + 1] + winx) * C, 128)
         return pltpu.make_async_copy(
-            img_hbm.at[pl.ds(row, WINY_G), pl.ds(col, winx * C)],
+            img_hbm.at[pl.ds(row, winy), pl.ds(col, winx * C)],
             win_ref.at[slot, j], sem.at[slot, j])
 
     @pl.when(i == 0)
@@ -271,7 +279,7 @@ def _gather_kernel(C, winx, K, origins_ref, img_hbm, coords_ref, out_ref,
             window_dma(i + 1, (i + 1) % 2, j).start()
 
     N = coords_ref.shape[2]
-    ivT = jax.lax.broadcasted_iota(jnp.int32, (WINY_G, N), 0)
+    ivT = jax.lax.broadcasted_iota(jnp.int32, (winy, N), 0)
     ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, winx * C), 1)
            // C).astype(jnp.float32)
     jc = jax.lax.broadcasted_iota(jnp.int32, (winx * C, C), 0) % C
@@ -308,8 +316,11 @@ def _gather_kernel(C, winx, K, origins_ref, img_hbm, coords_ref, out_ref,
         out_ref[j] = outT
 
 
-def _gather_fast(img_pad2d, rel_coords, origins, n_tiles, C, winx, K):
-    N = TILE * TILE
+def _gather_fast(img_pad2d, rel_coords, origins, n_tiles, C, winx, K,
+                 winy=None, tile=None):
+    winy = winy or WINY_G
+    tile = tile or GTILE
+    N = tile * tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // K,),
@@ -319,12 +330,12 @@ def _gather_fast(img_pad2d, rel_coords, origins, n_tiles, C, winx, K):
         ],
         out_specs=pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, K, WINY_G, winx * C), jnp.bfloat16),
+            pltpu.VMEM((2, K, winy, winx * C), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, K)),
         ],
     )
     out_t = pl.pallas_call(
-        functools.partial(_gather_kernel, C, winx, K),
+        functools.partial(_gather_kernel, C, winx, K, winy),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, C, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -344,7 +355,9 @@ def _sample_coords(flow: jnp.ndarray, H: int, W: int):
     return sx, sy
 
 
-GATHER_SPILL_TIERS = (32, 512)   # exact-refix capacities (tiles), then full
+_GS = (32 // GTILE) ** 2         # tile-count scale vs the 32-px baseline
+GATHER_SPILL_TIERS = (32 * _GS, 512 * _GS)
+                                 # exact-refix capacities (tiles), then full
                                  # (each chosen tier costs ~0.1µs/px of
                                  # exact XLA gather — caps sized to typical
                                  # motion-boundary spill counts)
@@ -425,7 +438,7 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     0.999 validity mask in the tiled domain (the bwarp semantics).
     """
     H, W, C = img.shape
-    if (H % TILE or W % TILE or H < TILE or W < TILE
+    if (H % GTILE or W % GTILE or H < GTILE or W < GTILE
             or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
             or (jax.default_backend() != "tpu" and not _INTERPRET)):
         from .warp import grid_sample_bilinear
@@ -446,7 +459,8 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     if cp != C:
         img = jnp.pad(img, ((0, 0), (0, 0), (0, cp - C)))
     pady, padx = WINY_G, winx
-    tf = _tile_flatten_us if planes_out else _tile_flatten
+    tf = (_tile_flatten_us if planes_out
+          else functools.partial(_tile_flatten, tile=GTILE))
     sx_t = tf(sx, H, W)
     sy_t = tf(sy, H, W)
     oy, ox = _origins(sx_t, sy_t, H, W, WINY_G, winx, qx, pady, padx)
@@ -454,8 +468,8 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     img_pad = jnp.pad(img, ((pady, pady), (padx, padx), (0, 0)))
     Hp, Wp = img_pad.shape[0], img_pad.shape[1]
     origins = jnp.stack([oy, ox], axis=1).reshape(-1)
-    n_tiles = (H // TILE) * (W // TILE)
-    K = _pick_k(W // TILE)
+    n_tiles = (H // GTILE) * (W // GTILE)
+    K = _pick_k(W // GTILE)
     rel = jnp.stack([sx_t - ox[:, None].astype(sx_t.dtype),
                      sy_t - oy[:, None].astype(sy_t.dtype)], axis=1)
     out_t = _gather_fast(
@@ -466,7 +480,7 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
     if bwarp_mask:
         out_t = out_t * _bwarp_mask_tiled(sx_t, sy_t, H, W)[..., None]
     return (_tile_planes_us(out_t, H, W) if planes_out
-            else _tile_unflatten(out_t, H, W))
+            else _tile_unflatten(out_t, H, W, tile=GTILE))
 
 
 def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
@@ -482,8 +496,8 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
     instead of N times. Returns a list of per-problem outputs.
     """
     H, W, C = imgs[0].shape
-    n_tiles = (H // TILE) * (W // TILE)
-    fallback = (H % TILE or W % TILE or H < TILE or W < TILE
+    n_tiles = (H // GTILE) * (W // GTILE)
+    fallback = (H % GTILE or W % GTILE or H < GTILE or W < GTILE
                 or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
                 or (jax.default_backend() != "tpu" and not _INTERPRET))
     if fallback:
@@ -491,8 +505,8 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
         for idx, sx, sy, m in problems:
             if coords_tiled:
                 # pre-tiled coords: recover plain fields for the fallback
-                ty_, tx_ = H // TILE, W // TILE
-                q = TILE // 4
+                ty_, tx_ = H // GTILE, W // GTILE
+                q = GTILE // 4
 
                 def unt(a):
                     a = a.reshape(ty_ * tx_, 4, q, q, 4)
@@ -518,8 +532,9 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
     Hp, Wp = imgs_p[0].shape[0], imgs_p[0].shape[1]
     stack = jnp.concatenate(imgs_p, axis=0)            # [n_img·Hp, Wp, cp]
 
-    tf = _tile_flatten_us if planes_out else _tile_flatten
-    K = _pick_k(W // TILE)
+    tf = (_tile_flatten_us if planes_out
+          else functools.partial(_tile_flatten, tile=GTILE))
+    K = _pick_k(W // GTILE)
     per = []
     all_origins, all_rel = [], []
     for idx, sx, sy, m in problems:
@@ -547,7 +562,7 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
         if m:
             out_t = out_t * _bwarp_mask_tiled(sx_t, sy_t, H, W)[..., None]
         outs.append(_tile_planes_us(out_t, H, W) if planes_out
-                    else _tile_unflatten(out_t, H, W))
+                    else _tile_unflatten(out_t, H, W, tile=GTILE))
     return outs
 
 
@@ -562,7 +577,7 @@ def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
     planes_out=True returns the u-plane form [B, 4, H/4, W·C].
     """
     B, H, W, C = x.shape
-    if (H % TILE or W % TILE or H < TILE or W < TILE
+    if (H % GTILE or W % GTILE or H < GTILE or W < GTILE
             or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
             or (jax.default_backend() != "tpu" and not _INTERPRET)):
         from .warp import bwarp
