@@ -29,9 +29,17 @@ def main():
     from fldrx.api import prepare_model, DEFAULT_NPZ
     from fldrx.config import papermodel_test5
 
+    # deploy default = the PARITY-COMPLIANT mixed policy: bf16 UNet (its
+    # deviation vs fast-f32 is 71 dB — negligible) with the flow/feature
+    # path in f32 (bf16 flow alone costs ~8 dB of deviation). Measured cost
+    # of f32 flow: ~0.03 fps.
     dtype = os.environ.get("FLDRX_BENCH_DTYPE", "bfloat16")
+    flow_dtype = os.environ.get("FLDRX_BENCH_FLOW_DTYPE", "float32")
+    unet_dtype = os.environ.get("FLDRX_BENCH_UNET_DTYPE", "")
     tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "3"))
-    cfg = papermodel_test5().replace(compute_dtype=dtype, t_chunk=tchunk)
+    cfg = papermodel_test5().replace(compute_dtype=dtype, t_chunk=tchunk,
+                                     flow_dtype=flow_dtype,
+                                     unet_dtype=unet_dtype)
     try:
         interp, cfg, _ = prepare_model(DEFAULT_NPZ, cfg)
     except FileNotFoundError:

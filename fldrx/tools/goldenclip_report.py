@@ -28,7 +28,10 @@ def main():
         ("fast-f32 (Pallas engine)",
          dict(fast_warp=True, packed_synth=True,
               compute_dtype="float32")),
-        ("fast-bf16 (deploy bench cfg)",
+        ("fast mixed (f32 flow + bf16 UNet)",
+         dict(fast_warp=True, packed_synth=True,
+              compute_dtype="bfloat16", flow_dtype="float32")),
+        ("fast-bf16 (all-bf16)",
          dict(fast_warp=True, packed_synth=True,
               compute_dtype="bfloat16")),
     ]
