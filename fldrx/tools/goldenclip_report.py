@@ -22,12 +22,14 @@ def main():
                                  metrics.denorm255(avg)) for g in gts])
     print(f"naive frame-average baseline: {base:.3f} dB", flush=True)
 
+    # f32 configs run t_chunk=1: three exact-synthesis graphs at once
+    # exceed HBM
     configs = [
         ("strict (fast_warp=False, f32)",
-         dict(fast_warp=False, compute_dtype="float32")),
+         dict(fast_warp=False, compute_dtype="float32", t_chunk=1)),
         ("fast-f32 (Pallas engine)",
          dict(fast_warp=True, packed_synth=True,
-              compute_dtype="float32")),
+              compute_dtype="float32", t_chunk=1)),
         ("fast mixed (f32 flow + bf16 UNet)",
          dict(fast_warp=True, packed_synth=True,
               compute_dtype="bfloat16", flow_dtype="float32")),
