@@ -1077,12 +1077,16 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
     n_tiles = ok_t.shape[0]
     # tiles with any spilled source are zeroed wholesale in the fast kernel
     # and re-added exactly by the tile fixup
-    tile_ok = jnp.all(ok_t, axis=1)
-    vals_masked = vals_t * tile_ok[:, None, None].astype(vals_t.dtype)
+    # spilled tiles are neutralized by pushing their COORDS out of every
+    # window (hat/okx weights become zero) instead of zeroing their vals:
+    # the tiled values then do not depend on the coords, so multi-t chunk
+    # programs CSE one vals array across all t-values
+    tile_bad = (~jnp.all(ok_t, axis=1)).astype(tx_t.dtype)[:, None]
     origins = (ox + padx) * cp            # strip lane offsets (128-aligned)
-    rel = jnp.stack([tx_t - ox[:, None].astype(tx_t.dtype),
-                     ty_t - oy[:, None].astype(ty_t.dtype)], axis=1)
-    valsT = jnp.moveaxis(vals_masked, 1, 2)               # [ntiles, C, N]
+    rel = jnp.stack(
+        [tx_t - ox[:, None].astype(tx_t.dtype) - tile_bad * 1e6,
+         ty_t - oy[:, None].astype(ty_t.dtype)], axis=1)
+    valsT = jnp.moveaxis(vals_t, 1, 2)                    # [ntiles, C, N]
     if planes_out:
         out = _splat_fast_planes(valsT, rel, origins, H, W, cp, winx, K)[0]
         return _tile_splat_fix(out, vals_t, tx_t, ty_t, ok_t,
@@ -1121,13 +1125,14 @@ def splat_multi(problems):
         vals_t = _tile_flatten(vals, H, W)
         oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
         ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
-        tile_ok = jnp.all(ok_t, axis=1)
-        vals_masked = vals_t * tile_ok[:, None, None].astype(vals_t.dtype)
+        # coords-pushed spill neutralization (see splat_at): keeps the
+        # tiled vals t-independent for cross-t CSE in chunk programs
+        tile_bad = (~jnp.all(ok_t, axis=1)).astype(tx_t.dtype)[:, None]
         all_origins.append((ox + padx) * cp)
         all_rel.append(jnp.stack(
-            [tx_t - ox[:, None].astype(tx_t.dtype),
+            [tx_t - ox[:, None].astype(tx_t.dtype) - tile_bad * 1e6,
              ty_t - oy[:, None].astype(ty_t.dtype)], axis=1))
-        all_valsT.append(jnp.moveaxis(vals_masked, 1, 2))
+        all_valsT.append(jnp.moveaxis(vals_t, 1, 2))
         per.append((vals_t, tx_t, ty_t, ok_t))
 
     n_tiles = per[0][3].shape[0]
