@@ -100,6 +100,50 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     per_t = [Meter() for _ in range(multiple - 1)]
     skipped: List[int] = []
 
+    # host/device overlap: PSNR/SSIM (and PNG writes) are host-heavy at 4K;
+    # they run on worker threads while the device synthesizes the next
+    # pair. Futures drain in submission order so meters/printing stay
+    # deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=4)
+    metric_q: List = []
+
+    def metrics_job(frames, t, scene, pred):
+        target = frames[2]
+        out_img = np.around(metrics.denorm255(pred))
+        p = s = rec = None
+        if compute_metrics:
+            if validation:
+                rec = float(np.mean(np.abs(pred - target)))
+            tgt_img = metrics.denorm255(target)
+            p = (metrics.psnr_xvfi(tgt_img, out_img) if xvfi_psnr
+                 else metrics.psnr(tgt_img, out_img))
+            s = metrics.ssim_bgr(tgt_img, out_img)
+        if save_dir:
+            from PIL import Image
+            d = os.path.join(save_dir, dataset_name,
+                             scene.replace(os.sep, "_"))
+            os.makedirs(d, exist_ok=True)
+            Image.fromarray(out_img[..., ::-1].astype(np.uint8)).save(
+                os.path.join(d, f"{t:.4f}.png"))
+        return p, s, rec
+
+    def drain(limit=0):
+        while len(metric_q) > limit:
+            idx, t, fut = metric_q.pop(0)
+            p, s, rec = fut.result()
+            if rec is not None:
+                rec_losses.update(rec)
+            if p is not None:
+                psnrs.update(p)
+                ssims.update(s)
+                if dataset_name.startswith("Inter4K"):
+                    per_t[int(round(t * multiple)) - 1].update(p)
+            if verbose and idx % (multiple - 1) == multiple - 2:
+                print(f"[{idx + 1}/{len(ds)}] PSNR {psnrs.avg:.4f}  "
+                      f"SSIM {ssims.avg:.4f}  "
+                      f"pred {pred_time.avg * 1000:.1f} ms")
+
     # multi-t reuse: consecutive items share a frame pair every (multiple-1)
     # targets (make_2D_dataset_X_Test layout); the pair's flow is computed
     # once and the t-values synthesize in chunked multi-t programs of
@@ -107,28 +151,9 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     tchunk = max(1, cfg.t_chunk)
 
     def process_item(idx, frames, t, scene, pred):
-        target = frames[2]
-        out_img = np.around(metrics.denorm255(pred))
-        if compute_metrics:
-            if validation:
-                rec_losses.update(float(np.mean(np.abs(pred - target))))
-            tgt_img = metrics.denorm255(target)
-            p = (metrics.psnr_xvfi(tgt_img, out_img) if xvfi_psnr
-                 else metrics.psnr(tgt_img, out_img))
-            s = metrics.ssim_bgr(tgt_img, out_img)
-            psnrs.update(p)
-            ssims.update(s)
-            if dataset_name.startswith("Inter4K"):
-                per_t[int(round(t * multiple)) - 1].update(p)
-        if save_dir:
-            from PIL import Image
-            d = os.path.join(save_dir, dataset_name, scene.replace(os.sep, "_"))
-            os.makedirs(d, exist_ok=True)
-            Image.fromarray(out_img[..., ::-1].astype(np.uint8)).save(
-                os.path.join(d, f"{t:.4f}.png"))
-        if verbose and idx % (multiple - 1) == multiple - 2:
-            print(f"[{idx + 1}/{len(ds)}] PSNR {psnrs.avg:.4f}  "
-                  f"SSIM {ssims.avg:.4f}  pred {pred_time.avg * 1000:.1f} ms")
+        metric_q.append((idx, t, pool.submit(metrics_job, frames, t, scene,
+                                             pred)))
+        drain(limit=24)               # bound queued predictions (~25 MB ea)
 
     pending: List = []          # buffered (idx, frames, t, scene) of one pair
     pending_key = [None]
@@ -181,6 +206,8 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         if stop_at != -1 and idx > stop_at:   # --stoptestat (main.py:972-974)
             stop = True
     flush_group()
+    drain()
+    pool.shutdown()
 
     if skipped and verbose:
         print("These indices were skipped:", skipped)
