@@ -272,6 +272,59 @@ class XTrain:
         return frames_to_tensor(np.ascontiguousarray(frames)), t_value
 
 
+class Inter4KTrain(XTrain):
+    """Inter4K multi-resolution training clips (utils.py:269-323 —
+    unused by the shipped reference training, ported for completeness).
+
+    Layout: root/<scene>/<sample>/<frame>/im{1k,2k,4k}.png — each clip is
+    65 frame DIRECTORIES; a random resolution is picked per sample
+    (im2k/im4k when patch_size > 512, else im1k/im2k/im4k), then the
+    XTrain triplet/augmentation recipe applies. No vertical flip,
+    matching frames_loader_train_inter4k.
+    """
+
+    def __init__(self, cfg: FLDRConfig, max_t_step_size: int = 32):
+        self.cfg = cfg
+        self.max_t_step = max_t_step_size
+        self.clips = []
+        root = cfg.inter4k_data_path
+        for scene in sorted(glob.glob(os.path.join(root, "*", ""))):
+            for sample in sorted(glob.glob(os.path.join(scene, "*", ""))):
+                frames = sorted(glob.glob(os.path.join(sample, "*", "")))
+                if frames:
+                    self.clips.append(frames)
+        if not self.clips:
+            raise RuntimeError(
+                f"Found 0 clip folders in subfolders of: {root}")
+
+    def sample(self, idx: int, rng: random.Random):
+        t_step = rng.randint(2, self.max_t_step)
+        t_list = np.linspace(1 / t_step, 1 - 1 / t_step, t_step - 1)
+        clip = self.clips[idx]
+        first = rng.randint(0, len(clip) - 1 - t_step)
+        inter = rng.randint(1, t_step - 1)
+        t_value = float(t_list[inter - 1])
+        if rng.randint(0, 1):
+            frange = [first, first + t_step, first + inter]
+        else:
+            frange = [first + t_step, first, first + inter]
+            t_value = 1.0 - t_value
+        ps = self.cfg.patch_size
+        choices = (["im2k.png", "im4k.png"] if ps > 512
+                   else ["im1k.png", "im2k.png", "im4k.png"])
+        res = choices[rng.randint(0, len(choices) - 1)]
+        frames = np.stack(
+            [imread_bgr(os.path.join(clip[i], res)) for i in frange], 0)
+        ih, iw = frames.shape[1:3]
+        ix = rng.randrange(0, iw - ps + 1)
+        iy = rng.randrange(0, ih - ps + 1)
+        frames = frames[:, iy:iy + ps, ix:ix + ps]
+        if rng.random() < 0.5:
+            frames = frames[:, :, ::-1]
+        frames = np.rot90(frames, rng.randint(0, 3), (1, 2))
+        return frames_to_tensor(np.ascontiguousarray(frames)), t_value
+
+
 class VimeoTrain:
     """vimeo_triplet tri_trainlist (utils.py:485-519); random temporal flip."""
 

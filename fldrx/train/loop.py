@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import FLDRConfig
-from ..data.datasets import XTrain, VimeoTrain
+from ..data.datasets import Inter4KTrain, XTrain, VimeoTrain
 from ..data.loader import train_batches
 from ..eval.evaluator import Meter, evaluate
 from ..eval.pipeline import Interpolator
@@ -78,7 +78,12 @@ def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
     else:
         SM = SaveManager(cfg)
     SM.write_config()
-    dataset = XTrain(cfg) if cfg.dataset == "X4K1000FPS" else VimeoTrain(cfg)
+    if cfg.dataset == "X4K1000FPS":
+        dataset = XTrain(cfg)
+    elif cfg.dataset.startswith("Inter4K"):
+        dataset = Inter4KTrain(cfg)
+    else:
+        dataset = VimeoTrain(cfg)
     if len(dataset) < cfg.batch_size:
         raise ValueError(
             f"dataset has {len(dataset)} clips < batch_size {cfg.batch_size} "

@@ -135,3 +135,30 @@ def test_half_res_matches_torch():
                         align_corners=False).numpy()
     np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), ref,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_inter4k_train_dataset(tmp_path):
+    """Inter4K train clips: 65 frame DIRECTORIES each holding im{1k,2k,4k}
+    resolution variants (utils.py:269-323); random-resolution triplet
+    sampling with the XTrain augmentation recipe."""
+    import random
+    from fldrx.config import papermodel
+    from fldrx.data.datasets import Inter4KTrain
+
+    rng0 = np.random.RandomState(0)
+    root = tmp_path / "i4k"
+    for scene in ("s1",):
+        for sample in ("c1",):
+            for i in range(65):
+                d = root / scene / sample / f"{i:04d}"
+                d.mkdir(parents=True)
+                for res, sz in (("im1k", 40), ("im2k", 48), ("im4k", 64)):
+                    _write_png(str(d / f"{res}.png"),
+                               rng0.randint(0, 255, (sz, sz, 3), np.uint8))
+    cfg = papermodel().replace(inter4k_data_path=str(root), patch_size=32)
+    ds = Inter4KTrain(cfg)
+    assert len(ds) == 1
+    frames, t = ds.sample(0, random.Random(3))
+    assert frames.shape == (3, 32, 32, 3)
+    assert 0.0 < t < 1.0
+    assert frames.min() >= -1.0 and frames.max() <= 1.0
