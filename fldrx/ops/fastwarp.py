@@ -279,11 +279,18 @@ def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
             window_dma(i + 1, (i + 1) % 2, j).start()
 
     N = coords_ref.shape[2]
+    wC = winx * C
     ivT = jax.lax.broadcasted_iota(jnp.int32, (winy, N), 0)
-    ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, winx * C), 1)
+    ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
            // C).astype(jnp.float32)
-    jc = jax.lax.broadcasted_iota(jnp.int32, (winx * C, C), 0) % C
-    cc = jax.lax.broadcasted_iota(jnp.int32, (winx * C, C), 1)
+    # channel-condense one-hot over ONE lane tile: the [N, wC] weighted
+    # window first folds its wC/128 lane tiles into one with cheap VPU adds
+    # (128-aligned slices; 128 % C == 0 keeps the u-stride-C groups intact),
+    # then a [128, C] matmul condenses u → c. The former [wC, C] one-hot
+    # spent as many MXU passes as the window matmul itself at C/128
+    # utilization (measured: this fold cut the fused-gather kernel ~25%).
+    jc = jax.lax.broadcasted_iota(jnp.int32, (128, C), 0) % C
+    cc = jax.lax.broadcasted_iota(jnp.int32, (128, C), 1)
     M = (jc == cc).astype(jnp.bfloat16)
     one = jnp.ones((1, 1), jnp.float32)
 
@@ -309,8 +316,12 @@ def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         w = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))    # hat taps
-        # outT[c, p] = sum_uc M[uc, c] * (t1*w)[p, uc]
-        outT = jax.lax.dot_general(M, (t1 * w).astype(jnp.bfloat16),
+        tw = t1 * w
+        s = tw[:, 0:128]                 # lane-tile fold (f32 partial sums)
+        for lt in range(1, wC // 128):
+            s = s + tw[:, 128 * lt:128 * (lt + 1)]
+        # outT[c, p] = sum_l M[l, c] * s[p, l]
+        outT = jax.lax.dot_general(M, s.astype(jnp.bfloat16),
                                    (((0,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         out_ref[j] = outT
@@ -673,17 +684,19 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
     ivT = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, N), 0)
     ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
            // C).astype(jnp.float32)
-    eyeC = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)).astype(
-                jnp.float32)
     one = jnp.ones((1, 1), jnp.float32)
 
-    # Ve via a tiny one-hot matmul: Ve[p, u*C+c] = vals[p, c].
-    # (pltpu.repeat lowers to winx sequential copies — measured ~11µs/tile,
-    # 4x the rest of the kernel combined; the MXU does it in one pass.)
-    rep = (jax.lax.broadcasted_iota(jnp.int32, (C, wC), 1) % C
-           == jax.lax.broadcasted_iota(jnp.int32, (C, wC), 0)).astype(
-               jnp.float32)
+    # Ve via ONE one-lane-tile one-hot matmul + lane-tile copies:
+    # v128[p, u*C+c (u<128/C)] = vals[p, c] straight from the transposed
+    # vals rows (rep128 contracts the C dim, transposing and replicating in
+    # one 8-pass matmul; DEFAULT precision rounds values to bf16 exactly as
+    # the former [C, wC] rep matmul did, and the contrib matmul re-rounds to
+    # bf16 regardless). The wide Ve is then wC/128 cheap VPU copies.
+    # (pltpu.repeat lowers to winx sequential copies — measured ~11µs/tile;
+    # the former full-width rep matmul cost 32 MXU passes/tile.)
+    rep128 = (jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1) % C
+              == jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)).astype(
+                  jnp.float32)
 
     for j in range(K):
         g = i * K + j
@@ -708,13 +721,11 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
         okx = ((xcol >= 0) & (xcol <= winx - 2)).astype(jnp.float32)
         CXe = CXe * okx
 
-        # vals [N, C] from transposed rows (exact 1-wide MXU contraction)
-        vals = jax.lax.dot_general(vals_ref[j], eyeC,
+        # transpose + lane-replicate vals in ONE matmul (see rep128 note)
+        v128 = jax.lax.dot_general(vals_ref[j], rep128,
                                    (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-        Ve = jax.lax.dot_general(vals, rep, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32)
+        Ve = jnp.concatenate([v128] * (wC // 128), axis=1)
 
         contrib = jnp.dot(RYT.astype(jnp.bfloat16),
                           (CXe * Ve).astype(jnp.bfloat16),
@@ -845,13 +856,10 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
     ivT = ((ivp % Q) * 4 + ivp // Q).astype(jnp.float32)
     ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
            // C).astype(jnp.float32)
-    eyeC = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)).astype(
-                jnp.float32)
     one = jnp.ones((1, 1), jnp.float32)
-    rep = (jax.lax.broadcasted_iota(jnp.int32, (C, wC), 1) % C
-           == jax.lax.broadcasted_iota(jnp.int32, (C, wC), 0)).astype(
-               jnp.float32)
+    rep128 = (jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1) % C
+              == jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)).astype(
+                  jnp.float32)
 
     for j in range(K):
         g = i * K + j
@@ -867,12 +875,11 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
                                    precision=jax.lax.Precision.HIGHEST)
         CXe = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))
 
-        vals = jax.lax.dot_general(vals_ref[j], eyeC,
+        # transpose + lane-replicate vals in ONE matmul (see _splat_kernel)
+        v128 = jax.lax.dot_general(vals_ref[j], rep128,
                                    (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-        Ve = jax.lax.dot_general(vals, rep, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32)
+        Ve = jnp.concatenate([v128] * (wC // 128), axis=1)
 
         contrib = jnp.dot(RYT.astype(jnp.bfloat16),
                           (CXe * Ve).astype(jnp.bfloat16),
