@@ -82,6 +82,24 @@ _WINX_G = int(os.environ.get("FLDRX_WINX_G", _G_DEF[1]))  # gather x window (qx-
 _WINX_S = int(os.environ.get("FLDRX_WINX_S", "128"))   # splat x window (qx-mult)
 
 
+def _row_to_col(row):
+    """[1, N] f32 row -> [N, 1] f32 column, bitwise-exact: a DEFAULT-
+    precision 1-pass MXU dot over a triple-bf16 split (hi = bf16(x);
+    mid = bf16(x - hi); lo = bf16 of the rest — each 1.0-product is exact
+    and the MXU accumulates in f32, so the total error < half an f32 ulp,
+    i.e. the result rounds back to x exactly). The narrow-minor transpose
+    this replaces is unsupported on Mosaic, and the HIGHEST-precision
+    1-wide dot used before cost ~7 ms/launch (measured)."""
+    hi = row.astype(jnp.bfloat16)
+    r1 = row - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    hml = jnp.concatenate([hi, mid, lo], axis=0)
+    return jax.lax.dot_general(hml, jnp.ones((3, 1), jnp.bfloat16),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _pick_k(tx: int) -> int:
     """Tiles per grid step: largest of 8/4/2/1 dividing the tile-row length,
     so K-groups never span image rows (shared splat windows require it)."""
@@ -292,7 +310,6 @@ def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
     jc = jax.lax.broadcasted_iota(jnp.int32, (128, C), 0) % C
     cc = jax.lax.broadcasted_iota(jnp.int32, (128, C), 1)
     M = (jc == cc).astype(jnp.bfloat16)
-    one = jnp.ones((1, 1), jnp.float32)
 
     for j in range(K):
         rxr = coords_ref[j, 0:1, :]                        # [1, N]
@@ -307,9 +324,8 @@ def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
         RYT = jnp.maximum(0.0, 1.0 - jnp.abs(ivT.astype(jnp.float32) - ryr))
 
         # x side needs column vectors: exact row->col transpose on the MXU
-        xcol = jax.lax.dot_general(rxr, one, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+        # (triple-bf16 split, 1 DEFAULT pass — see _row_to_col)
+        xcol = _row_to_col(rxr)
         window_dma(i, i % 2, j).wait()
         # t1[p, uc] = sum_v RYT[v, p] * win[v, uc]  (contract dim0 x dim0)
         t1 = jax.lax.dot_general(RYT.astype(jnp.bfloat16), win_ref[i % 2, j],
@@ -684,7 +700,6 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
     ivT = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, N), 0)
     ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
            // C).astype(jnp.float32)
-    one = jnp.ones((1, 1), jnp.float32)
 
     # Ve via ONE one-lane-tile one-hot matmul + lane-tile copies:
     # v128[p, u*C+c (u<128/C)] = vals[p, c] straight from the transposed
@@ -712,9 +727,7 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
         RYT = ((ivT == y0cr).astype(jnp.float32) * (1.0 - fyr)
                + (ivT == y0cr + 1).astype(jnp.float32) * fyr) * okyr
 
-        xcol = jax.lax.dot_general(txr, one, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+        xcol = _row_to_col(txr)  # exact row->col, 1 DEFAULT MXU pass
         # hat taps; out-of-window sources are zeroed wholesale on the XLA
         # side (tile_ok masking of vals) and re-added exactly by the fixup
         CXe = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))
@@ -856,7 +869,6 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
     ivT = ((ivp % Q) * 4 + ivp // Q).astype(jnp.float32)
     ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
            // C).astype(jnp.float32)
-    one = jnp.ones((1, 1), jnp.float32)
     rep128 = (jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1) % C
               == jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)).astype(
                   jnp.float32)
@@ -870,9 +882,7 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
         # spilled-tile sources carry zero vals
         RYT = jnp.maximum(0.0, 1.0 - jnp.abs(ivT - tyr))
 
-        xcol = jax.lax.dot_general(txr, one, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+        xcol = _row_to_col(txr)  # exact row->col, 1 DEFAULT MXU pass
         CXe = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))
 
         # transpose + lane-replicate vals in ONE matmul (see _splat_kernel)
