@@ -81,6 +81,11 @@ class FLDRConfig:
     # pair's flow. Sweep on v5e 4K: 1→2.53, 2→2.61, 3→2.64, 4→2.50 fps
     # (beyond 3, memory pressure degrades the schedule).
     t_chunk: int = 3
+    # fuse the chunk's warp work into one launch per stage
+    # (synthesize_packed_multi). Measured at 4K/chunk-3: fused 4.23 fps vs
+    # 4.28 per-t-loop — the 2T-problem launches pin ~1.8 GB and cost more
+    # in scheduling freedom than they save in prologues. Off by default.
+    t_fuse: bool = False
     padding: str = "reflect"          # pcanet → reflect (main.py:273)
     dataset: str = "X4K1000FPS"
     testsets: Tuple[str, ...] = ("Inter4K-S", "Inter4K-L", "X4K1000FPS", "Xiph-4K")

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..config import FLDRConfig
 from ..model.fldrnet import (flow_extras, forward_flow, forward_synthesis,
-                             forward_test)
+                             forward_synthesis_multi, forward_test)
 from ..ops.pad import pad_amount
 from ..ops.resize import resize_2d
 
@@ -145,14 +145,10 @@ class Interpolator:
             cfg = self.cfg
 
             def fn(params, flow, padded_frames, ts, extras):
-                B = flow.shape[0]
-                outs = []
-                for k in range(T):
-                    outs.append(forward_synthesis(
-                        params, cfg, flow, padded_frames, ts[k],
-                        precomputed=extras,
-                        compute_dtype=self._compute_dtype))
-                return jnp.stack(outs, 0)
+                return forward_synthesis_multi(
+                    params, cfg, flow, padded_frames,
+                    [ts[k] for k in range(T)], precomputed=extras,
+                    compute_dtype=self._compute_dtype)
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 

@@ -530,32 +530,60 @@ def _upsample_to_planes(fb: jnp.ndarray, out_h: int, out_w: int):
 def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
                       t: jnp.ndarray, precomputed=None,
                       compute_dtype=jnp.float32):
-    """Level-0 synthesis with every full-res tensor in the u-plane
-    space-to-depth form [B, 4, H/4, W·C] (inference fast path).
+    """Level-0 packed (u-plane) synthesis for ONE t — the T=1 chunk of
+    synthesize_packed_multi (same launches, identical numerics); see that
+    function for the design notes."""
+    return synthesize_packed_multi(p, flow_l, images, [t],
+                                   precomputed=precomputed,
+                                   compute_dtype=compute_dtype)[0]
 
-    Why: XLA on TPU pads the minor (lane) dim to 128, so any transpose
-    interleaving 4x4 cells into channel-minor 4K layouts costs 10-35 ms
-    (worst case a 32x lane-padding blowup). In the u-plane form (plane u =
-    rows y≡u mod 4, flat) the warp kernels emit packed layouts natively
-    (see ops/fastwarp.py), every cell view is a pure reshape, the refine
-    UNet consumes/produces the cell-major s2d4 packing with no boundary
-    transposes (refine_unet_s2d_core), the blend runs per plane, and the
-    single final unpack is a row-DMA Pallas kernel (ops/repack.py).
+
+def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
+                            images: jnp.ndarray, ts,
+                            precomputed=None, compute_dtype=jnp.float32):
+    """Level-0 synthesis for a CHUNK of t-values with every full-res tensor
+    in the u-plane space-to-depth form [B, 4, H/4, W·C] (inference fast
+    path) and the warp work of ALL t-values fused into one launch per stage.
+
+    Why the packed form: XLA on TPU pads the minor (lane) dim to 128, so any
+    transpose interleaving 4x4 cells into channel-minor 4K layouts costs
+    10-35 ms (worst case a 32x lane-padding blowup). In the u-plane form
+    (plane u = rows y≡u mod 4, flat) the warp kernels emit packed layouts
+    natively (see ops/fastwarp.py), every cell view is a pure reshape, the
+    refine UNet consumes/produces the cell-major s2d4 packing with no
+    boundary transposes (refine_unet_s2d_core), the blend runs per plane,
+    and the single final unpack is a row-DMA Pallas kernel (ops/repack.py).
     Numerics are identical to the plain fast path up to scalar-t resize
     commutation (~124 dB, PARITY.md).
 
+    Why the cross-t fusion: the 2T softmax splats share ONE strip sweep
+    (the t-invariant tiled vals CSE into one array — splat_multi's
+    coords-pushed spill neutralization exists for this), the 2T low-res
+    flowback compositions share one gather launch, and the 2T im_tot
+    gathers share another — the per-launch prologue/epilogue (~7 ms each
+    at 4K) and kernel grid warmup are paid once per chunk instead of once
+    per t. Per-problem kernel math is bitwise-identical to the single-t
+    program; the refine UNet and blend stay per-t (each is already one
+    large MXU program).
+
+    ts: sequence of [B, 1] t arrays. Returns a list of per-t tuples
+    (out [B, H, W, 3], flow_refine, None, None).
+
     Inference-only: no custom VJP is attached (training uses `synthesize`).
+    Reference: fLDRnet.py:400-524 (the reference re-runs this whole
+    synthesis once per target time, main.py:867).
     """
-    from ..ops.fastwarp import _sample_coords, gather_multi, splat_multi
+    from ..ops.fastwarp import (_sample_coords, gather_multi, splat_multi,
+                                tile_us_from_planes)
     from ..ops.repack import interleave_planes
 
     B = flow_l.shape[0]
+    T = len(ts)
     flow_l = flow_l.astype(jnp.float32)
     images = images.astype(jnp.float32)
-    tb = t.reshape(B, 1, 1, 1).astype(jnp.float32)
+    tbs = [t.reshape(B, 1, 1, 1).astype(jnp.float32) for t in ts]
     flow_10 = flow_l[..., 0:2]
     flow_01 = flow_l[..., 2:4]
-    flow_refine = jnp.concatenate([tb * flow_01, (1.0 - tb) * flow_10], -1)
 
     H, W = images.shape[2], images.shape[3]
     h, w = flow_l.shape[1], flow_l.shape[2]
@@ -577,9 +605,6 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
         x0P, x1P = _planes_batch(x0), _planes_batch(x1)
         f10P, f01P = _planes_batch(flow_10f), _planes_batch(flow_01f)
 
-    # ---- fused warp launches: both splats share one strip sweep, both
-    # flow compositions share one gather launch, both im_tot gathers share
-    # another (per-launch prologue ~7 ms at 4K, paid once per stage) ----
     def softsplat_vals(x, z):
         inp01 = (x + 1.0) * 0.5
         m = jnp.exp(z)
@@ -587,8 +612,6 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
 
     vals0 = softsplat_vals(x0, z0)
     vals1 = softsplat_vals(x1, z1)
-    flow_t0f = tb * flow_01f
-    flow_t1f = (1.0 - tb) * flow_10f
     xsF = jnp.arange(W, dtype=jnp.float32)
     ysF = jnp.arange(H, dtype=jnp.float32)
 
@@ -598,31 +621,46 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
         nz = jnp.where(nz == 0.0, jnp.ones_like(nz), nz)
         return ((s[..., :-1] / nz - 0.5) * 2.0).reshape(4, Hp4, W * 3)
 
-    # low-res flow composition coords (the fast path's flowback)
-    fbsrc0 = flow_10 * tb
-    fbsrc1 = flow_01 * (1.0 - tb)
-    fbfl0 = (1.0 - tb) * flow_01
-    fbfl1 = tb * flow_10
+    # per-t scaled fields: scalar multiples of the per-pair tensors (XLA
+    # fuses them into the coordinate computations)
+    flow_t0f = [tb * flow_01f for tb in tbs]
+    flow_t1f = [(1.0 - tb) * flow_10f for tb in tbs]
+    fbsrc0 = [flow_10 * tb for tb in tbs]
+    fbsrc1 = [flow_01 * (1.0 - tb) for tb in tbs]
+    fbfl0 = [(1.0 - tb) * flow_01 for tb in tbs]
+    fbfl1 = [tb * flow_10 for tb in tbs]
 
-    w0L, w1L, fb0L, fb1L = [], [], [], []
+    # ---- cross-t fused warp launches: ALL 2T splats share one strip
+    # sweep, ALL 2T flow compositions share one gather launch ----
+    w0L = [[] for _ in range(T)]
+    w1L = [[] for _ in range(T)]
+    fb0L = [[] for _ in range(T)]
+    fb1L = [[] for _ in range(T)]
     for b in range(B):
-        s0, s1 = splat_multi(
-            [(vals0[b], xsF[None, :] + flow_t0f[b, ..., 0],
-              ysF[:, None] + flow_t0f[b, ..., 1]),
-             (vals1[b], xsF[None, :] + flow_t1f[b, ..., 0],
-              ysF[:, None] + flow_t1f[b, ..., 1])])
-        w0L.append(norm_planes(s0))
-        w1L.append(norm_planes(s1))
-        sx0, sy0 = _sample_coords(fbfl0[b], h, w)
-        sx1, sy1 = _sample_coords(fbfl1[b], h, w)
-        g0, g1 = gather_multi([fbsrc0[b], fbsrc1[b]],
-                              [(0, sx0, sy0, False), (1, sx1, sy1, False)])
-        fb0L.append(g0)
-        fb1L.append(g1)
-    warped0P = jnp.stack(w0L, 0)
-    warped1P = jnp.stack(w1L, 0)
-    fb0 = jnp.stack(fb0L, 0)
-    fb1 = jnp.stack(fb1L, 0)
+        probs = []
+        for k in range(T):
+            probs.append((vals0[b], xsF[None, :] + flow_t0f[k][b, ..., 0],
+                          ysF[:, None] + flow_t0f[k][b, ..., 1]))
+            probs.append((vals1[b], xsF[None, :] + flow_t1f[k][b, ..., 0],
+                          ysF[:, None] + flow_t1f[k][b, ..., 1]))
+        souts = splat_multi(probs)
+        gimgs, gprobs = [], []
+        for k in range(T):
+            sx0, sy0 = _sample_coords(fbfl0[k][b], h, w)
+            sx1, sy1 = _sample_coords(fbfl1[k][b], h, w)
+            gimgs += [fbsrc0[k][b], fbsrc1[k][b]]
+            gprobs += [(2 * k, sx0, sy0, False),
+                       (2 * k + 1, sx1, sy1, False)]
+        gouts = gather_multi(gimgs, gprobs)
+        for k in range(T):
+            w0L[k].append(norm_planes(souts[2 * k]))
+            w1L[k].append(norm_planes(souts[2 * k + 1]))
+            fb0L[k].append(gouts[2 * k])
+            fb1L[k].append(gouts[2 * k + 1])
+    warped0P = [jnp.stack(w0L[k], 0) for k in range(T)]
+    warped1P = [jnp.stack(w1L[k], 0) for k in range(T)]
+    fb0 = [jnp.stack(fb0L[k], 0) for k in range(T)]
+    fb1 = [jnp.stack(fb1L[k], 0) for k in range(T)]
 
     # flowback fields upsampled STRAIGHT to u-planes (row-bitwise-equal to
     # the plain resize) and masked there; the im_tot gather coords tile
@@ -653,13 +691,16 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
                 + valid(x0i + 1, y0i + 1) * fx * fy)
         return (ones >= 0.999).astype(jnp.float32)[..., None]
 
-    fb0P = (upscale * _upsample_to_planes(fb0, H, W)).reshape(
-        B, 4, Hp4, W, 2) * mask_planes((1.0 - tb) * f01P)
-    fb1P = (upscale * _upsample_to_planes(fb1, H, W)).reshape(
-        B, 4, Hp4, W, 2) * mask_planes(tb * f10P)
+    fb0P = [(upscale * _upsample_to_planes(fb0[k], H, W)).reshape(
+        B, 4, Hp4, W, 2) * mask_planes((1.0 - tbs[k]) * f01P)
+        for k in range(T)]
+    fb1P = [(upscale * _upsample_to_planes(fb1[k], H, W)).reshape(
+        B, 4, Hp4, W, 2) * mask_planes(tbs[k] * f10P)
+        for k in range(T)]
 
-    from ..ops.fastwarp import tile_us_from_planes
-    im0L, im1L = [], []
+    # ---- cross-t fused im_tot gathers: 2T problems over the two frames ----
+    im0L = [[] for _ in range(T)]
+    im1L = [[] for _ in range(T)]
     uoff = jnp.arange(4, dtype=jnp.float32).reshape(4, 1, 1)
     ys4 = 4.0 * jnp.arange(Hp4, dtype=jnp.float32).reshape(1, Hp4, 1)
     for b in range(B):
@@ -669,22 +710,26 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
             sy = (ys4 + uoff + fbP[b, ..., 1]) * (H / max(H - 1, 1)) - 0.5
             return (tile_us_from_planes(sx, H, W),
                     tile_us_from_planes(sy, H, W))
-        sx0, sy0 = tiled_coords(fb0P)
-        sx1, sy1 = tiled_coords(fb1P)
-        g0, g1 = gather_multi([x0[b], x1[b]],
-                              [(0, sx0, sy0, True), (1, sx1, sy1, True)],
-                              planes_out=True, coords_tiled=True)
-        im0L.append(g0)
-        im1L.append(g1)
-    im0P = jnp.stack(im0L, 0)
-    im1P = jnp.stack(im1L, 0)
-    fb0P = fb0P.reshape(B, 4, Hp4, W * 2)
-    fb1P = fb1P.reshape(B, 4, Hp4, W * 2)
+        iprobs = []
+        for k in range(T):
+            sx0, sy0 = tiled_coords(fb0P[k])
+            sx1, sy1 = tiled_coords(fb1P[k])
+            iprobs += [(0, sx0, sy0, True), (1, sx1, sy1, True)]
+        iouts = gather_multi([x0[b], x1[b]], iprobs, planes_out=True,
+                             coords_tiled=True)
+        for k in range(T):
+            im0L[k].append(iouts[2 * k])
+            im1L[k].append(iouts[2 * k + 1])
+    im0P = [jnp.stack(im0L[k], 0) for k in range(T)]
+    im1P = [jnp.stack(im1L[k], 0) for k in range(T)]
+    fb0P = [f.reshape(B, 4, Hp4, W * 2) for f in fb0P]
+    fb1P = [f.reshape(B, 4, Hp4, W * 2) for f in fb1P]
 
     def cells(P, u, k):
         """Plane u of a [B, 4, Hp4, W·k] tensor as [B, Hp4, Wp4, 4, k]."""
         return P[:, u].reshape(B, Hp4, Wp4, 4, k)
 
+    # ---- per-t refine UNet + blend (each already one large MXU program).
     # UNet input in u-major/component-major channel order (u, comp, v, cc):
     # every concat operand is either a pure reshape of a flat-wide plane or
     # a strided row-slice view of a plain tensor, so the 416-ch
@@ -692,41 +737,52 @@ def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
     # measured ~50 ms of 4K narrow-minor copies); enc1's weight rows are
     # permuted once to match (weight-exact). The t-scaled flow pieces are
     # scalar multiples of the plain endpoint-flow slices.
-    ft0P = tb * f01P                  # per-t packed flows: scalar multiples
-    ft1P = (1.0 - tb) * f10P          # of the per-pair plane fields
-    comps = ((x0P, 3), (x1P, 3), (warped0P, 3), (warped1P, 3), (ft0P, 2),
-             (ft1P, 2), (fb0P, 2), (fb1P, 2), (im0P, 3), (im1P, 3))
-    refine_in = jnp.concatenate(
-        [P[:, u].reshape(B, Hp4, Wp4, 4 * k).astype(compute_dtype)
-         for u in range(4) for P, k in comps], -1)        # [B,Hp4,Wp4,416]
-    out = refine_unet_s2d_core(p["refine"], refine_in,
-                               in_perm=_uorder_perm(
-                                   tuple(k for _, k in comps)))
-    out = out.astype(jnp.float32)                         # [B,Hp4,Wp4,96]
+    Tparam = p["T_param"].astype(jnp.float32)
+    results = []
+    for k in range(T):
+        tb = tbs[k]
+        ft0P = tb * f01P              # per-t packed flows: scalar multiples
+        ft1P = (1.0 - tb) * f10P      # of the per-pair plane fields
+        comps = ((x0P, 3), (x1P, 3), (warped0P[k], 3), (warped1P[k], 3),
+                 (ft0P, 2), (ft1P, 2), (fb0P[k], 2), (fb1P[k], 2),
+                 (im0P[k], 3), (im1P[k], 3))
+        refine_in = jnp.concatenate(
+            [P[:, u].reshape(B, Hp4, Wp4, 4 * kk).astype(compute_dtype)
+             for u in range(4) for P, kk in comps], -1)    # [B,Hp4,Wp4,416]
+        out = refine_unet_s2d_core(p["refine"], refine_in,
+                                   in_perm=_uorder_perm(
+                                       tuple(kk for _, kk in comps)))
+        out = out.astype(jnp.float32)                     # [B,Hp4,Wp4,96]
 
-    T = p["T_param"].astype(jnp.float32)
-    tb5 = t.reshape(B, 1, 1, 1, 1).astype(jnp.float32)
-    out_planes = []
-    for u in range(4):
-        occ = jax.nn.softmax(
-            out[..., u * 24:u * 24 + 24].reshape(B, Hp4, Wp4, 4, 6)[..., :6]
-            / T, axis=-1)
-        w0 = (1 - tb5) * occ[..., 0:1]
-        w1 = tb5 * occ[..., 1:2]
-        w2 = (1 - tb5) * occ[..., 2:3]
-        w3 = tb5 * occ[..., 3:4]
-        w4 = (1 - tb5) * occ[..., 4:5]
-        w5 = tb5 * occ[..., 5:6]
-        divisor = w0 + w1 + w2 + w3 + w4 + w5
-        out_u = (w0 * cells(warped0P, u, 3) + w1 * cells(warped1P, u, 3)
-                 + w2 * cells(im0P, u, 3) + w3 * cells(im1P, u, 3)
-                 + w4 * cells(x0P, u, 3) + w5 * cells(x1P, u, 3)) / divisor
-        out_planes.append(out_u.reshape(B, Hp4, W * 3))
+        tb5 = ts[k].reshape(B, 1, 1, 1, 1).astype(jnp.float32)
+        out_planes = []
+        for u in range(4):
+            occ = jax.nn.softmax(
+                out[..., u * 24:u * 24 + 24].reshape(
+                    B, Hp4, Wp4, 4, 6)[..., :6] / Tparam, axis=-1)
+            w0 = (1 - tb5) * occ[..., 0:1]
+            w1 = tb5 * occ[..., 1:2]
+            w2 = (1 - tb5) * occ[..., 2:3]
+            w3 = tb5 * occ[..., 3:4]
+            w4 = (1 - tb5) * occ[..., 4:5]
+            w5 = tb5 * occ[..., 5:6]
+            divisor = w0 + w1 + w2 + w3 + w4 + w5
+            out_u = (w0 * cells(warped0P[k], u, 3)
+                     + w1 * cells(warped1P[k], u, 3)
+                     + w2 * cells(im0P[k], u, 3)
+                     + w3 * cells(im1P[k], u, 3)
+                     + w4 * cells(x0P, u, 3)
+                     + w5 * cells(x1P, u, 3)) / divisor
+            out_planes.append(out_u.reshape(B, Hp4, W * 3))
 
-    outP = jnp.stack(out_planes, axis=1)                  # [B,4,Hp4,W·3]
-    out_full = jnp.stack(
-        [interleave_planes(outP[b]) for b in range(B)], 0)
-    return out_full.reshape(B, H, W, 3), flow_refine, None, None
+        outP = jnp.stack(out_planes, axis=1)              # [B,4,Hp4,W·3]
+        out_full = jnp.stack(
+            [interleave_planes(outP[b]) for b in range(B)], 0)
+        flow_refine = jnp.concatenate(
+            [tb * flow_01, (1.0 - tb) * flow_10], -1)
+        results.append((out_full.reshape(B, H, W, 3), flow_refine,
+                        None, None))
+    return results
 
 
 # ---------------------------------------------------------------------------
@@ -852,6 +908,35 @@ def forward_synthesis(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
     if orig_hw is not None:
         out = out[:, :orig_hw[0], :orig_hw[1]]
     return out
+
+
+def forward_synthesis_multi(params: Params, cfg: FLDRConfig,
+                            flow: jnp.ndarray, images: jnp.ndarray, ts,
+                            precomputed=None,
+                            compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Level-0 synthesis for a chunk of t-values: cross-t fused warp
+    launches via synthesize_packed_multi when the packed fast path is
+    enabled, else a per-t loop (XLA still CSEs shared prologues).
+    ts: sequence of [B, 1] t arrays. Returns [T, B, H, W, 3].
+
+    cfg.t_fuse gates the cross-t LAUNCH fusion (measured at 4K/chunk-3:
+    fused 4.23 fps vs per-t-loop 4.28 — the 2T-problem launches pin
+    ~1.8 GB of splat vals/outputs and the lost scheduling freedom beats
+    the ~7 ms/launch prologue saving; default off, kept for geometries
+    where the balance flips)."""
+    fast = getattr(cfg, "fast_warp", False)
+    unet_dtype = _stage_dtype(cfg, "unet_dtype", compute_dtype)
+    if (fast and getattr(cfg, "t_fuse", False) and _packed_enabled(cfg)
+            and can_use_packed(flow, images)):
+        with jax.named_scope("synthesis_multi"):
+            outs = synthesize_packed_multi(
+                params["vfinet"], flow, images, list(ts),
+                precomputed=precomputed, compute_dtype=unet_dtype)
+        return jnp.stack([o[0] for o in outs], 0)
+    return jnp.stack(
+        [forward_synthesis(params, cfg, flow, images, t,
+                           precomputed=precomputed,
+                           compute_dtype=compute_dtype) for t in ts], 0)
 
 
 def forward_test(params: Params, cfg: FLDRConfig,

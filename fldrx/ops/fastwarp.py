@@ -65,7 +65,13 @@ GTILE = int(os.environ.get("FLDRX_GTILE", "32"))
                            # tile (window = tile + 2·halo), so smaller tiles
                            # cut the one-hot matmul FLOPs — at the price of
                            # more grid steps and tighter in-tile halos
-_G_DEF = {32: ("128", "160"), 16: ("64", "96")}[GTILE]
+_G_DEF = {32: ("128", "128"), 16: ("64", "96")}[GTILE]
+                           # gather winx 160→128 (r3): −5 hat/fold VPU
+                           # passes/tile; x-halo drops 48→32 px but the
+                           # ×8-protocol bench stays spill-free on
+                           # naturalistic content and nets +5% (4.07→4.28
+                           # fps measured; adversarial content degrades
+                           # through the exact tiers, not in quality)
 WINY_G = int(os.environ.get("FLDRX_WINY_G", _G_DEF[0]))
                            # gather window rows (8-quantized adaptive origin
                            # → guaranteed y-halo ±(WINY_G−GTILE)/2−4; kernel

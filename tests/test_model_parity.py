@@ -151,6 +151,33 @@ def test_synthesize_packed_matches_fast():
     assert psnr > 90.0, psnr
 
 
+def test_synthesize_packed_multi_matches_single():
+    """The cross-t fused chunk program is per-problem identical to the
+    single-t packed synthesis — same launches, same math, so the outputs
+    must be bitwise equal for every t in the chunk."""
+    import jax
+    from fldrx.model.fldrnet import (flow_extras, init_params,
+                                     synthesize_packed,
+                                     synthesize_packed_multi)
+
+    cfg = papermodel().replace(fast_warp=True, packed_synth=True)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(7)
+    B, H, W = 1, 256, 320
+    images = jnp.asarray((rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32))
+    flow_l = jnp.asarray((rng.rand(B, H // 8, W // 8, 4) * 6 - 3)
+                         .astype(np.float32))
+    extras = flow_extras(params, cfg, flow_l, images)
+    ts = [jnp.full((B, 1), tv, jnp.float32) for tv in (0.25, 0.625, 0.875)]
+    multi = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
+                                    precomputed=extras)
+    for t, (out_m, fr_m, _, _) in zip(ts, multi):
+        out_s, fr_s, _, _ = synthesize_packed(params["vfinet"], flow_l,
+                                              images, t, precomputed=extras)
+        np.testing.assert_array_equal(np.asarray(fr_s), np.asarray(fr_m))
+        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_m))
+
+
 def test_refine_unet_s2d_matches_plain():
     """Space-to-depth UNet is a weight-exact repacking of refine_unet:
     outputs match to float-roundoff at any %4 shape."""
