@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = bool(os.environ.get("FLDRX_PALLAS_INTERPRET"))
 
-_BH = 8          # image rows per grid step
+_BH = int(os.environ.get("FLDRX_CONV_BH", "8"))   # image rows per grid step
 
 
 def _rows_per_block(Wp8: int) -> int:

@@ -32,7 +32,71 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = bool(os.environ.get("FLDRX_PALLAS_INTERPRET"))
 
-_BLK = 32      # output rows per grid step
+_BLK = 32      # output rows per grid step (row-DMA fallback kernel)
+_BLK2 = 128    # output rows per grid step (perm-matmul kernel)
+
+
+def _lane_block(WC: int) -> int:
+    """Largest multiple-of-128 divisor of WC ≤ 4096 (keeps a 128×WCB f32
+    block ≤ 2 MB — in+out double-buffered stays under the 16 MB scoped
+    VMEM limit)."""
+    for cand in (4096, 3072, 2048, 1536, 1024, 768, 512, 384, 256, 128):
+        if WC % cand == 0:
+            return cand
+    return 0
+
+
+def _split3(x):
+    """Triple-bf16 split of an f32 array: x == hi + mid + lo BITWISE
+    (each residual is exactly representable — x − bf16(x) drops exactly
+    the top mantissa bits — and the final 8 leftover bits fit lo)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _perm_dot(P, X):
+    """P @ X with P a 0/1 one-hot permutation (one nonzero per row): exact
+    for bf16 X (1·x products, single-nonzero sums), and bitwise-exact for
+    f32 X via the triple-bf16 split — the splat/gather kernels established
+    this trick (fastwarp.py); DEFAULT precision, so full MXU rate."""
+    if X.dtype == jnp.float32:
+        acc = None
+        for part in _split3(X):
+            t = jax.lax.dot_general(P, part, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+        return acc
+    t = jax.lax.dot_general(P, X, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return t.astype(X.dtype)
+
+
+def _interleave_kernel2(WC, planes_ref, out_ref):
+    """Sublane-permutation interleave: the [4, Q, WC] plane block (Pallas
+    auto-pipelines it) reshapes to [128, WC] with X[u·Q+k] = plane u row k;
+    output row 4k+u ← X[u·Q+k] is a one-hot MXU matmul. Replaces the
+    per-row DMA kernel whose ~2300 row copies were issue-rate bound
+    (~15 ms in context at 4K, measured)."""
+    Q = _BLK2 // 4
+    X = planes_ref[...].reshape(_BLK2, WC)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (_BLK2, _BLK2), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_BLK2, _BLK2), 1)
+    P = ((jj % 4) * Q + jj // 4 == ii).astype(jnp.bfloat16)
+    out_ref[...] = _perm_dot(P, X)
+
+
+def _deinterleave_kernel2(WC, img_ref, out_ref):
+    """Inverse: [128, WC] contiguous rows → [4, Q, WC] planes via the
+    inverse sublane permutation (row u·Q+k ← X[4k+u])."""
+    Q = _BLK2 // 4
+    X = img_ref[...]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (_BLK2, _BLK2), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_BLK2, _BLK2), 1)
+    P = ((jj // Q) + 4 * (jj % Q) == ii).astype(jnp.bfloat16)
+    out_ref[...] = _perm_dot(P, X).reshape(4, Q, WC)
 
 
 def _interleave_kernel(H, WC, Hp4, planes_ref, out_ref, sems):
@@ -67,11 +131,22 @@ def interleave_planes(planes: jnp.ndarray) -> jnp.ndarray:
     """
     _, Hp4, WC = planes.shape
     H = 4 * Hp4
+    on_tpu = jax.default_backend() == "tpu" or _INTERPRET
+    WCB = _lane_block(WC)
+    if on_tpu and H % _BLK2 == 0 and WCB:
+        Q = _BLK2 // 4
+        return pl.pallas_call(
+            functools.partial(_interleave_kernel2, WCB),
+            grid=(H // _BLK2, WC // WCB),
+            in_specs=[pl.BlockSpec((4, Q, WCB), lambda g, j: (0, g, j))],
+            out_specs=pl.BlockSpec((_BLK2, WCB), lambda g, j: (g, j)),
+            out_shape=jax.ShapeDtypeStruct((H, WC), planes.dtype),
+            interpret=_INTERPRET,
+        )(planes)
     # 1-D HBM refs tile at 1024 elements: row starts must be provably
     # 1024-divisible, so rows (WC) must be a 1024-multiple (true at the 4K
     # eval widths: 4096*3; others take the XLA fallback)
-    if (WC % 1024 or H % _BLK
-            or (jax.default_backend() != "tpu" and not _INTERPRET)):
+    if WC % 1024 or H % _BLK or not on_tpu:
         s = jnp.stack([planes[0], planes[1], planes[2], planes[3]], axis=1)
         return s.reshape(H, WC)
     out = pl.pallas_call(
@@ -113,8 +188,19 @@ def extract_planes(img: jnp.ndarray) -> jnp.ndarray:
     H, W, C = img.shape
     WC = W * C
     flat = img.reshape(H, WC)
-    if (WC % 1024 or H % _BLK
-            or (jax.default_backend() != "tpu" and not _INTERPRET)):
+    on_tpu = jax.default_backend() == "tpu" or _INTERPRET
+    WCB = _lane_block(WC)
+    if on_tpu and H % _BLK2 == 0 and WCB:
+        Q = _BLK2 // 4
+        return pl.pallas_call(
+            functools.partial(_deinterleave_kernel2, WCB),
+            grid=(H // _BLK2, WC // WCB),
+            in_specs=[pl.BlockSpec((_BLK2, WCB), lambda g, j: (g, j))],
+            out_specs=pl.BlockSpec((4, Q, WCB), lambda g, j: (0, g, j)),
+            out_shape=jax.ShapeDtypeStruct((4, H // 4, WC), img.dtype),
+            interpret=_INTERPRET,
+        )(flat)
+    if WC % 1024 or H % _BLK or not on_tpu:
         return jnp.stack([flat[u::4] for u in range(4)], axis=0)
     out = pl.pallas_call(
         functools.partial(_deinterleave_kernel, H, WC, H // 4),
