@@ -65,7 +65,7 @@ GTILE = int(os.environ.get("FLDRX_GTILE", "32"))
                            # tile (window = tile + 2·halo), so smaller tiles
                            # cut the one-hot matmul FLOPs — at the price of
                            # more grid steps and tighter in-tile halos
-_G_DEF = {32: ("128", "128"), 16: ("64", "96")}[GTILE]
+_G_DEF = {32: ("128", "128"), 16: ("64", "96"), 64: ("192", "160")}[GTILE]
                            # gather winx 160→128 (r3): −5 hat/fold VPU
                            # passes/tile; x-halo drops 48→32 px but the
                            # ×8-protocol bench stays spill-free on
@@ -106,11 +106,14 @@ def _row_to_col(row):
                                preferred_element_type=jnp.float32)
 
 
+_GK_CAP = int(os.environ.get("FLDRX_GK", "8"))   # max tiles per grid step
+
+
 def _pick_k(tx: int) -> int:
     """Tiles per grid step: largest of 8/4/2/1 dividing the tile-row length,
     so K-groups never span image rows (shared splat windows require it)."""
     for k in (8, 4, 2, 1):
-        if tx % k == 0:
+        if tx % k == 0 and k <= _GK_CAP:
             return k
     return 1
 
@@ -388,8 +391,8 @@ def _sample_coords(flow: jnp.ndarray, H: int, W: int):
     return sx, sy
 
 
-_GS = (32 // GTILE) ** 2         # tile-count scale vs the 32-px baseline
-GATHER_SPILL_TIERS = (32 * _GS, 512 * _GS)
+_GS = (32 * 32) / (GTILE * GTILE)   # tile-count scale vs the 32-px baseline
+GATHER_SPILL_TIERS = (max(8, int(32 * _GS)), max(128, int(512 * _GS)))
                                  # exact-refix capacities (tiles), then full
                                  # (each chosen tier costs ~0.1µs/px of
                                  # exact XLA gather — caps sized to typical
