@@ -107,12 +107,25 @@ def _row_to_col(row):
 
 
 _GK_CAP = int(os.environ.get("FLDRX_GK", "8"))   # max tiles per grid step
+_GWIN = os.environ.get("FLDRX_GWIN", "tile")     # gather window mode:
+                           # "tile" = one DMA per tile (adaptive per-tile
+                           # origins); "group" = ONE shared window DMA per
+                           # K-tile grid step (~K× fewer DMA rows and ~3×
+                           # fewer bytes — per-tile halos overlap heavily),
+                           # at the price of group-mean (not tile-mean)
+                           # window origins: per-tile reach is unchanged
+                           # for rigid motion, but flow VARIATION across
+                           # the group's K·GTILE-px span eats into the
+                           # halo; spills degrade through the exact tiers
 
 
 def _pick_k(tx: int) -> int:
-    """Tiles per grid step: largest of 8/4/2/1 dividing the tile-row length,
-    so K-groups never span image rows (shared splat windows require it)."""
-    for k in (8, 4, 2, 1):
+    """Tiles per grid step: largest of 16/8/4/2/1 dividing the tile-row
+    length AND within the FLDRX_GK cap (default 8 — K=16 measured +10% in
+    per-tile window mode, but group-window mode shares one DMA per K tiles,
+    so larger K may pay there). K-groups never span image rows (shared
+    splat/group windows require it)."""
+    for k in (16, 8, 4, 2, 1):
         if tx % k == 0 and k <= _GK_CAP:
             return k
     return 1
@@ -352,11 +365,81 @@ def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
         out_ref[j] = outT
 
 
+def _gather_kernel_grp(C, winx, K, winy, gtile, origins_ref, img_hbm,
+                       coords_ref, out_ref, win_ref, sem):
+    """Shared-window variant of _gather_kernel: the K tiles of a grid step
+    (one contiguous run of a tile row) read ONE window of
+    [winy, ((K−1)·gtile + winx)·C] at the group origin — per-tile halos
+    overlap by (winx − gtile) px, so the shared window cuts DMA traffic
+    ~winx/gtile× in bytes and K× in row descriptors (each window DMA is
+    winy strided row bursts; the per-tile mode issues K of them per step).
+    Tile j's subwindow is a STATIC lane slice at j·gtile·C (128-aligned),
+    so the MXU work is identical to the per-tile mode."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    wtot = (K - 1) * gtile + winx
+
+    def window_dma(step, slot):
+        row = pl.multiple_of(origins_ref[2 * step] + winy, 8)
+        col = pl.multiple_of((origins_ref[2 * step + 1] + winx) * C, 128)
+        return pltpu.make_async_copy(
+            img_hbm.at[pl.ds(row, winy), pl.ds(col, wtot * C)],
+            win_ref.at[slot], sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        window_dma(i, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        window_dma(i + 1, (i + 1) % 2).start()
+
+    N = coords_ref.shape[2]
+    wC = winx * C
+    ivT = jax.lax.broadcasted_iota(jnp.int32, (winy, N), 0)
+    ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
+           // C).astype(jnp.float32)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (128, C), 0) % C
+    cc = jax.lax.broadcasted_iota(jnp.int32, (128, C), 1)
+    M = (jc == cc).astype(jnp.bfloat16)
+
+    window_dma(i, i % 2).wait()
+    for j in range(K):
+        rxr = coords_ref[j, 0:1, :]                        # [1, N]
+        ryr = coords_ref[j, 1:2, :]
+        RYT = jnp.maximum(0.0, 1.0 - jnp.abs(ivT.astype(jnp.float32) - ryr))
+        xcol = _row_to_col(rxr)
+        t1 = jax.lax.dot_general(
+            RYT.astype(jnp.bfloat16),
+            win_ref[i % 2][:, j * gtile * C:j * gtile * C + wC],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))    # hat taps
+        tw = t1 * w
+        s = tw[:, 0:128]                 # lane-tile fold (f32 partial sums)
+        for lt in range(1, wC // 128):
+            s = s + tw[:, 128 * lt:128 * (lt + 1)]
+        outT = jax.lax.dot_general(M, s.astype(jnp.bfloat16),
+                                   (((0,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        out_ref[j] = outT
+
+
 def _gather_fast(img_pad2d, rel_coords, origins, n_tiles, C, winx, K,
-                 winy=None, tile=None):
+                 winy=None, tile=None, group=False):
     winy = winy or WINY_G
     tile = tile or GTILE
     N = tile * tile
+    if group:
+        wtot = (K - 1) * tile + winx
+        kernel = functools.partial(_gather_kernel_grp, C, winx, K, winy,
+                                   tile)
+        scratch = [pltpu.VMEM((2, winy, wtot * C), jnp.bfloat16),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        kernel = functools.partial(_gather_kernel, C, winx, K, winy)
+        scratch = [pltpu.VMEM((2, K, winy, winx * C), jnp.bfloat16),
+                   pltpu.SemaphoreType.DMA((2, K))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // K,),
@@ -365,13 +448,10 @@ def _gather_fast(img_pad2d, rel_coords, origins, n_tiles, C, winx, K,
             pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, K, winy, winx * C), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, K)),
-        ],
+        scratch_shapes=scratch,
     )
     out_t = pl.pallas_call(
-        functools.partial(_gather_kernel, C, winx, K, winy),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, C, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -380,6 +460,37 @@ def _gather_fast(img_pad2d, rel_coords, origins, n_tiles, C, winx, K,
         interpret=_INTERPRET,
     )(origins, img_pad2d, rel_coords)
     return jnp.moveaxis(out_t, 1, 2)                       # [ntiles, N, C]
+
+
+def _gather_origins(sx_t, sy_t, H, W, winy, winx, qx, pady, padx, K,
+                    tile, row_base=0):
+    """Gather window origins for the active _GWIN mode.
+
+    Returns (origins_flat for the kernel's scalar prefetch, oy/ox per TILE
+    for rel-coord and spill-mask computation). In "group" mode the stored
+    origins are per K-GROUP (the group window's base) and the per-tile
+    ox derive as oxg + j·tile; row_base (gather_multi's stacked-image row
+    offset) is added to the STORED oy only."""
+    if _GWIN != "group":
+        oy, ox = _origins(sx_t, sy_t, H, W, winy, winx, qx, pady, padx)
+        return jnp.stack([oy + row_base, ox], axis=1).reshape(-1), oy, ox
+    n_tiles = sx_t.shape[0]
+    ng = n_tiles // K
+    cx = jnp.mean(sx_t, axis=1).reshape(ng, K)
+    cy = jnp.mean(sy_t, axis=1).reshape(ng, K)
+    joff = jnp.arange(K, dtype=cx.dtype)[None, :] * tile
+    gx = jnp.mean(cx - joff, axis=1)           # group-mean x displacement
+    gy = jnp.mean(cy, axis=1)
+    oxg = jnp.round((gx - winx / 2) / qx).astype(jnp.int32) * qx
+    oyg = jnp.round((gy - winy / 2) / 8).astype(jnp.int32) * 8
+    oxg = jnp.clip(oxg, -padx,
+                   ((W + padx - winx - (K - 1) * tile) // qx) * qx)
+    oyg = jnp.clip(oyg, -pady, ((H + pady - winy) // 8) * 8)
+    origins = jnp.stack([oyg + row_base, oxg], axis=1).reshape(-1)
+    ox = (oxg[:, None]
+          + jnp.arange(K, dtype=jnp.int32)[None, :] * tile).reshape(-1)
+    oy = jnp.broadcast_to(oyg[:, None], (ng, K)).reshape(-1)
+    return origins, oy, ox
 
 
 def _sample_coords(flow: jnp.ndarray, H: int, W: int):
@@ -499,18 +610,18 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
           else functools.partial(_tile_flatten, tile=GTILE))
     sx_t = tf(sx, H, W)
     sy_t = tf(sy, H, W)
-    oy, ox = _origins(sx_t, sy_t, H, W, WINY_G, winx, qx, pady, padx)
+    K = _pick_k(W // GTILE)
+    origins, oy, ox = _gather_origins(sx_t, sy_t, H, W, WINY_G, winx, qx,
+                                      pady, padx, K, GTILE)
     ok_t = _ok_mask(sx_t, sy_t, oy, ox, WINY_G, winx)
     img_pad = jnp.pad(img, ((pady, pady), (padx, padx), (0, 0)))
     Hp, Wp = img_pad.shape[0], img_pad.shape[1]
-    origins = jnp.stack([oy, ox], axis=1).reshape(-1)
     n_tiles = (H // GTILE) * (W // GTILE)
-    K = _pick_k(W // GTILE)
     rel = jnp.stack([sx_t - ox[:, None].astype(sx_t.dtype),
                      sy_t - oy[:, None].astype(sy_t.dtype)], axis=1)
     out_t = _gather_fast(
         img_pad.reshape(Hp, Wp * cp).astype(jnp.bfloat16), rel,
-        origins, n_tiles, cp, winx, K)[..., :C]
+        origins, n_tiles, cp, winx, K, group=_GWIN == "group")[..., :C]
     out_t = _tile_gather_fix(img[..., :C], sx_t, sy_t, out_t, ok_t,
                              n_tiles, C)
     if bwarp_mask:
@@ -576,9 +687,11 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
     for idx, sx, sy, m in problems:
         sx_t = sx if coords_tiled else tf(sx, H, W)
         sy_t = sy if coords_tiled else tf(sy, H, W)
-        oy, ox = _origins(sx_t, sy_t, H, W, WINY_G, winx, qx, pady, padx)
+        origins, oy, ox = _gather_origins(sx_t, sy_t, H, W, WINY_G, winx,
+                                          qx, pady, padx, K, GTILE,
+                                          row_base=idx * Hp)
         ok_t = _ok_mask(sx_t, sy_t, oy, ox, WINY_G, winx)
-        all_origins.append(jnp.stack([oy + idx * Hp, ox], 1).reshape(-1))
+        all_origins.append(origins)
         all_rel.append(jnp.stack(
             [sx_t - ox[:, None].astype(sx_t.dtype),
              sy_t - oy[:, None].astype(sy_t.dtype)], axis=1))
@@ -588,7 +701,7 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
     out_all = _gather_fast(
         stack.reshape(len(imgs) * Hp, Wp * cp).astype(jnp.bfloat16),
         jnp.concatenate(all_rel, 0), jnp.concatenate(all_origins, 0),
-        P * n_tiles, cp, winx, K)[..., :C]
+        P * n_tiles, cp, winx, K, group=_GWIN == "group")[..., :C]
 
     outs = []
     for pi, (idx, sx_t, sy_t, ok_t, m) in enumerate(per):
@@ -727,21 +840,20 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
         colC = pl.multiple_of(origins_ref[g], 128)
         txr = coords_ref[j, 0:1, :]                       # strip-relative
         tyr = coords_ref[j, 1:2, :]
-        # STRIP-wide one-hot: the target's vertical position is absorbed
-        # here (full ±OYR_S continuous reach, sublane-static strip add)
-        y0r = jnp.floor(tyr)
-        fyr = tyr - y0r
-        okyr = ((y0r >= 0) & (y0r <= STRIPH - 2)).astype(jnp.float32)
-        y0cr = jnp.clip(y0r, 0, STRIPH - 2).astype(jnp.int32)
-        RYT = ((ivT == y0cr).astype(jnp.float32) * (1.0 - fyr)
-               + (ivT == y0cr + 1).astype(jnp.float32) * fyr) * okyr
+        # STRIP-wide hat one-hot: the target's vertical position is absorbed
+        # here (full ±OYR_S continuous reach, sublane-static strip add).
+        # Hat form needs no okyr/clip: spilled tiles' X coords are pushed to
+        # −1e6 on the XLA side (CXe hats them to zero), and for surviving
+        # tiles _ok_mask guarantees floor(ty) ∈ [0, STRIPH−2] — including
+        # the (STRIPH−2, STRIPH−1) fractional band, which the former
+        # iota-compare + okyr ≤ STRIPH−2 mask wrongly dropped (its x twin
+        # okx ≤ winx−2 dropped the (winx−2, winx−1) band the same way).
+        RYT = jnp.maximum(0.0, 1.0 - jnp.abs(ivT.astype(jnp.float32) - tyr))
 
         xcol = _row_to_col(txr)  # exact row->col, 1 DEFAULT MXU pass
-        # hat taps; out-of-window sources are zeroed wholesale on the XLA
-        # side (tile_ok masking of vals) and re-added exactly by the fixup
+        # hat taps; spilled tiles' pushed coords hat to zero and are
+        # re-added exactly by the fixup
         CXe = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))
-        okx = ((xcol >= 0) & (xcol <= winx - 2)).astype(jnp.float32)
-        CXe = CXe * okx
 
         # transpose + lane-replicate vals in ONE matmul (see rep128 note)
         v128 = jax.lax.dot_general(vals_ref[j], rep128,

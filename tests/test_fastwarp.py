@@ -147,6 +147,37 @@ def test_gather_multi_matches_single(data):
                                        atol=1e-5)
 
 
+def test_group_window_gather_matches_exact(data):
+    """FLDRX_GWIN=group (one shared window DMA per K-tile grid step) must
+    match the exact XLA gather — spill-free AND spilling flows (spills
+    resolve through the exact fixup tiers), plain and planes/multi paths."""
+    x, small, big = data
+    H, W = 128, 192
+    os.environ["FLDRX_GWIN"] = "group"
+    importlib.reload(fastwarp)
+    try:
+        assert fastwarp._GWIN == "group"
+        for fl in (small, big):
+            np.testing.assert_allclose(fastwarp.bwarp_fast(x, fl),
+                                       bwarp(x, fl), atol=TOL)
+        # fused multi-problem launch with stacked images + offset origins
+        x2 = jnp.flip(x, axis=2)
+        imgs = [x[0], x2[0]]
+        probs = []
+        for idx, fl in ((0, small), (1, big)):
+            sx, sy = fastwarp._sample_coords(fl[0], H, W)
+            probs.append((idx, sx, sy, True))
+        outs = fastwarp.gather_multi(imgs, probs, planes_out=True)
+        for (idx, sx, sy, m), o in zip(probs, outs):
+            ref = fastwarp.gather_at(imgs[idx], sx, sy, planes_out=True,
+                                     bwarp_mask=m)
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                       atol=TOL)
+    finally:
+        os.environ.pop("FLDRX_GWIN", None)
+        importlib.reload(fastwarp)
+
+
 def test_fallback_on_odd_shapes():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.rand(1, 30, 50, 3).astype(np.float32))
