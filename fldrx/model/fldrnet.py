@@ -289,30 +289,17 @@ def level_flow(p: Params, feat: jnp.ndarray,
 
 def _bwarp_ones_mask(flow: jnp.ndarray) -> jnp.ndarray:
     """bwarp's 0.999 validity mask (fLDRnet.py:568-580), computed
-    analytically from the sampling coordinates — no gather needed (the
-    sampled all-ones image equals the sum of in-frame corner weights).
-    flow: [B, H, W, 2] → mask [B, H, W, 1]."""
+    analytically from the sampling coordinates — no gather needed, and in
+    the separable closed form (ops/fastwarp.ones_mask_sep; fp-identical up
+    to 1 ulp at the frame border). Fast-path only — the strict path's
+    bwarp keeps the corner-sum form. flow: [B, H, W, 2] → [B, H, W, 1]."""
+    from ..ops.fastwarp import ones_mask_sep
     B, H, W, _ = flow.shape
     xs = jnp.arange(W, dtype=flow.dtype)
     ys = jnp.arange(H, dtype=flow.dtype)
     sx = (xs[None, None, :] + flow[..., 0]) * (W / max(W - 1, 1)) - 0.5
     sy = (ys[None, :, None] + flow[..., 1]) * (H / max(H - 1, 1)) - 0.5
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = sx - x0
-    fy = sy - y0
-
-    def valid(xi, yi):
-        return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(
-            flow.dtype)
-
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
-            + valid(x0i + 1, y0i) * fx * (1 - fy)
-            + valid(x0i, y0i + 1) * (1 - fx) * fy
-            + valid(x0i + 1, y0i + 1) * fx * fy)
-    return (ones >= 0.999).astype(flow.dtype)[..., None]
+    return ones_mask_sep(sx, sy, H, W)[..., None]
 
 
 def z_metrics(p: Params, x0, x1, flow_10, flow_01, fast: bool = False,
@@ -667,29 +654,16 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
     # straight from the planes — no plain full-res flowback tensor exists
     def mask_planes(flP):
         """_bwarp_ones_mask on a plane-form flow [B,4,Hp4,W·2] (views of
-        the per-pair materialized planes — contiguous reshapes, fused)."""
+        the per-pair materialized planes — contiguous reshapes, fused),
+        in the separable closed form (ops/fastwarp.ones_mask_sep)."""
+        from ..ops.fastwarp import ones_mask_sep
         fl = flP.reshape(B, 4, Hp4, W, 2)
         uoff = jnp.arange(4, dtype=jnp.float32).reshape(1, 4, 1, 1)
         ys4 = 4.0 * jnp.arange(Hp4, dtype=jnp.float32).reshape(1, 1, Hp4, 1)
         sx = (xsF[None, None, None, :] + fl[..., 0]) * (
             W / max(W - 1, 1)) - 0.5
         sy = (ys4 + uoff + fl[..., 1]) * (H / max(H - 1, 1)) - 0.5
-        x0_ = jnp.floor(sx)
-        y0_ = jnp.floor(sy)
-        fx = sx - x0_
-        fy = sy - y0_
-
-        def valid(xi, yi):
-            return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(
-                jnp.float32)
-
-        x0i = x0_.astype(jnp.int32)
-        y0i = y0_.astype(jnp.int32)
-        ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
-                + valid(x0i + 1, y0i) * fx * (1 - fy)
-                + valid(x0i, y0i + 1) * (1 - fx) * fy
-                + valid(x0i + 1, y0i + 1) * fx * fy)
-        return (ones >= 0.999).astype(jnp.float32)[..., None]
+        return ones_mask_sep(sx, sy, H, W)[..., None]
 
     fb0P = [(upscale * _upsample_to_planes(fb0[k], H, W)).reshape(
         B, 4, Hp4, W, 2) * mask_planes((1.0 - tbs[k]) * f01P)

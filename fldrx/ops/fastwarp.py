@@ -107,6 +107,18 @@ def _row_to_col(row):
 
 
 _GK_CAP = int(os.environ.get("FLDRX_GK", "8"))   # max tiles per grid step
+_PIPE_BF16 = bool(int(os.environ.get("FLDRX_PIPE_BF16", "0")))
+                           # run the kernels' wide [N, winx·C] weight
+                           # pipelines (hat max / value mult / lane folds)
+                           # in bf16 at 2× VPU rate. The hat SUBTRACTION
+                           # stays f32 — rounding d = u−x itself to bf16
+                           # would create phantom taps; rounding 1−|d|
+                           # keeps negatives negative, so max(0, ·) still
+                           # zeroes everything outside the true 2-tap
+                           # support. Adds ~2 bf16 roundings per tap
+                           # (values already round once at the MXU):
+                           # quality-gate on the golden clip before
+                           # defaulting on.
 _GWIN = os.environ.get("FLDRX_GWIN", "tile")     # gather window mode:
                            # "tile" = one DMA per tile (adaptive per-tile
                            # origins); "group" = ONE shared window DMA per
@@ -129,6 +141,45 @@ def _pick_k(tx: int) -> int:
         if tx % k == 0 and k <= _GK_CAP:
             return k
     return 1
+
+
+def _hat(iv, coord):
+    """Bilinear hat max(0, 1−|iv−coord|) as one wide pipeline. The
+    subtraction runs f32 (exact tap support); with _PIPE_BF16 the rest
+    runs bf16 at 2× VPU rate (bitwise-equal results wherever the hat is
+    computed from the same rounding point — see _PIPE_BF16 note)."""
+    h = 1.0 - jnp.abs(iv - coord)
+    if _PIPE_BF16:
+        return jnp.maximum(jnp.bfloat16(0.0), h.astype(jnp.bfloat16))
+    return jnp.maximum(0.0, h)
+
+
+def _x_fold(t1, ufl, xcol, wC):
+    """Gather epilogue: weight the y-contracted window t1 [N, wC] by the x
+    hat taps and fold the wC/128 lane tiles into one [N, 128] bf16 block
+    for the channel-condense matmul."""
+    w = _hat(ufl, xcol)
+    if _PIPE_BF16:
+        tw = t1.astype(jnp.bfloat16) * w
+    else:
+        tw = t1 * w
+    s = tw[:, 0:128]                     # lane-tile fold (partial sums)
+    for lt in range(1, wC // 128):
+        s = s + tw[:, 128 * lt:128 * (lt + 1)]
+    return s if _PIPE_BF16 else s.astype(jnp.bfloat16)
+
+
+def _splat_contrib(RYT, CXe, v128, wC):
+    """Splat tile contribution RYT @ (CXe ⊙ Ve), Ve = v128 lane-replicated
+    to the window width. Under _PIPE_BF16 the wide multiply runs bf16 (one
+    extra rounding of the weight·value product vs the f32 pipeline; the
+    MXU rounds both operands to bf16 either way)."""
+    if _PIPE_BF16:
+        Ve = jnp.concatenate([v128.astype(jnp.bfloat16)] * (wC // 128), 1)
+        return jnp.dot(RYT, CXe * Ve, preferred_element_type=jnp.float32)
+    Ve = jnp.concatenate([v128] * (wC // 128), axis=1)
+    return jnp.dot(RYT.astype(jnp.bfloat16), (CXe * Ve).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
 
 
 def _win_geom(C: int, wide: bool = True):
@@ -343,7 +394,7 @@ def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
         # pipeline is the kernel's VPU bottleneck, measured).
         # Weights stay f32 (bf16 weights amplify through the softmax-splat
         # normalisation downstream) — values round to bf16 once, at the MXU
-        RYT = jnp.maximum(0.0, 1.0 - jnp.abs(ivT.astype(jnp.float32) - ryr))
+        RYT = _hat(ivT.astype(jnp.float32), ryr)
 
         # x side needs column vectors: exact row->col transpose on the MXU
         # (triple-bf16 split, 1 DEFAULT pass — see _row_to_col)
@@ -353,13 +404,8 @@ def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
         t1 = jax.lax.dot_general(RYT.astype(jnp.bfloat16), win_ref[i % 2, j],
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))    # hat taps
-        tw = t1 * w
-        s = tw[:, 0:128]                 # lane-tile fold (f32 partial sums)
-        for lt in range(1, wC // 128):
-            s = s + tw[:, 128 * lt:128 * (lt + 1)]
         # outT[c, p] = sum_l M[l, c] * s[p, l]
-        outT = jax.lax.dot_general(M, s.astype(jnp.bfloat16),
+        outT = jax.lax.dot_general(M, _x_fold(t1, ufl, xcol, wC),
                                    (((0,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         out_ref[j] = outT
@@ -407,19 +453,14 @@ def _gather_kernel_grp(C, winx, K, winy, gtile, origins_ref, img_hbm,
     for j in range(K):
         rxr = coords_ref[j, 0:1, :]                        # [1, N]
         ryr = coords_ref[j, 1:2, :]
-        RYT = jnp.maximum(0.0, 1.0 - jnp.abs(ivT.astype(jnp.float32) - ryr))
+        RYT = _hat(ivT.astype(jnp.float32), ryr)
         xcol = _row_to_col(rxr)
         t1 = jax.lax.dot_general(
             RYT.astype(jnp.bfloat16),
             win_ref[i % 2][:, j * gtile * C:j * gtile * C + wC],
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))    # hat taps
-        tw = t1 * w
-        s = tw[:, 0:128]                 # lane-tile fold (f32 partial sums)
-        for lt in range(1, wC // 128):
-            s = s + tw[:, 128 * lt:128 * (lt + 1)]
-        outT = jax.lax.dot_general(M, s.astype(jnp.bfloat16),
+        outT = jax.lax.dot_general(M, _x_fold(t1, ufl, xcol, wC),
                                    (((0,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         out_ref[j] = outT
@@ -548,27 +589,25 @@ def _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C):
         out_t)
 
 
+def ones_mask_sep(sx, sy, H, W):
+    """The bwarp 0.999 validity mask (sampled all-ones image ≥ 0.999) in
+    SEPARABLE closed form: valid(x,y) = vx(x)·vy(y) over the rectangular
+    frame, so the 4-corner weighted sum factors as gx·gy with
+    g = clip(min(s+1, S−s), 0, 1) — ~13 elementwise passes instead of ~35
+    (floor/int-casts/4 corner tests all drop out). Fp-identical to the
+    corner sum up to 1 ulp at the frame border (Sterbenz: s−floor(s) and
+    S−s are exact there); the 0.999 threshold makes flips content-measure-
+    zero. The strict-parity path (ops/warp.py) keeps the corner-sum form."""
+    gx = jnp.clip(jnp.minimum(sx + 1.0, W - sx), 0.0, 1.0)
+    gy = jnp.clip(jnp.minimum(sy + 1.0, H - sy), 0.0, 1.0)
+    return (gx * gy >= 0.999).astype(sx.dtype)
+
+
 def _bwarp_mask_tiled(sx_t, sy_t, H, W):
-    """The bwarp 0.999 validity mask evaluated on TILED coords [ntiles, N]
-    (sampled all-ones image = Σ in-frame corner weights) — lets the packed
-    gather apply the mask before its epilogue transpose, with no full-res
-    mask tensor materialized."""
-    x0 = jnp.floor(sx_t)
-    y0 = jnp.floor(sy_t)
-    fx = sx_t - x0
-    fy = sy_t - y0
-
-    def valid(xi, yi):
-        return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(
-            sx_t.dtype)
-
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
-            + valid(x0i + 1, y0i) * fx * (1 - fy)
-            + valid(x0i, y0i + 1) * (1 - fx) * fy
-            + valid(x0i + 1, y0i + 1) * fx * fy)
-    return (ones >= 0.999).astype(sx_t.dtype)
+    """ones_mask_sep on TILED coords [ntiles, N] — lets the packed gather
+    apply the mask before its epilogue transpose, with no full-res mask
+    tensor materialized."""
+    return ones_mask_sep(sx_t, sy_t, H, W)
 
 
 def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
@@ -746,24 +785,8 @@ def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
         out = gather_at(img, sx, sy)
         if not with_mask:
             return out
-        # the ones-mask needs no gather: sampled ones = Σ valid-corner weights
-        x0 = jnp.floor(sx)
-        y0 = jnp.floor(sy)
-        fx = sx - x0
-        fy = sy - y0
-
-        def valid(xi, yi):
-            return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(
-                jnp.float32)
-
-        x0i = x0.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
-                + valid(x0i + 1, y0i) * fx * (1 - fy)
-                + valid(x0i, y0i + 1) * (1 - fx) * fy
-                + valid(x0i + 1, y0i + 1) * fx * fy)
-        mask = (ones >= 0.999).astype(jnp.float32)
-        return out * mask[..., None]
+        # the ones-mask needs no gather: separable closed form
+        return out * ones_mask_sep(sx, sy, H, W)[..., None]
 
     # B is small (1 at eval); unrolling avoids vmap's SMEM-prefetch blowup
     return jnp.stack([one(x[b], flow[b]) for b in range(B)], 0).astype(in_dtype)
@@ -848,22 +871,18 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
         # the (STRIPH−2, STRIPH−1) fractional band, which the former
         # iota-compare + okyr ≤ STRIPH−2 mask wrongly dropped (its x twin
         # okx ≤ winx−2 dropped the (winx−2, winx−1) band the same way).
-        RYT = jnp.maximum(0.0, 1.0 - jnp.abs(ivT.astype(jnp.float32) - tyr))
+        RYT = _hat(ivT.astype(jnp.float32), tyr)
 
         xcol = _row_to_col(txr)  # exact row->col, 1 DEFAULT MXU pass
         # hat taps; spilled tiles' pushed coords hat to zero and are
         # re-added exactly by the fixup
-        CXe = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))
+        CXe = _hat(ufl, xcol)
 
         # transpose + lane-replicate vals in ONE matmul (see rep128 note)
         v128 = jax.lax.dot_general(vals_ref[j], rep128,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-        Ve = jnp.concatenate([v128] * (wC // 128), axis=1)
-
-        contrib = jnp.dot(RYT.astype(jnp.bfloat16),
-                          (CXe * Ve).astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+        contrib = _splat_contrib(RYT, CXe, v128, wC)
         strip_ref[:, pl.ds(colC, wC)] = (
             strip_ref[:, pl.ds(colC, wC)] + contrib)
 
@@ -1000,21 +1019,17 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
         txr = coords_ref[j, 0:1, :]                       # strip-relative
         tyr = coords_ref[j, 1:2, :]
         # hat-form strip one-hot against the u-major row map; no okyr —
-        # spilled-tile sources carry zero vals
-        RYT = jnp.maximum(0.0, 1.0 - jnp.abs(ivT - tyr))
+        # spilled tiles' pushed X coords hat to zero
+        RYT = _hat(ivT, tyr)
 
         xcol = _row_to_col(txr)  # exact row->col, 1 DEFAULT MXU pass
-        CXe = jnp.maximum(0.0, 1.0 - jnp.abs(ufl - xcol))
+        CXe = _hat(ufl, xcol)
 
         # transpose + lane-replicate vals in ONE matmul (see _splat_kernel)
         v128 = jax.lax.dot_general(vals_ref[j], rep128,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-        Ve = jnp.concatenate([v128] * (wC // 128), axis=1)
-
-        contrib = jnp.dot(RYT.astype(jnp.bfloat16),
-                          (CXe * Ve).astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+        contrib = _splat_contrib(RYT, CXe, v128, wC)
         strip_ref[:, pl.ds(colC, wC)] = (
             strip_ref[:, pl.ds(colC, wC)] + contrib)
 
@@ -1453,20 +1468,7 @@ def _bwarp_diff_bwd(with_mask, res, g):
     def one(img_b, fl_b, g_b):
         sx, sy = _sample_coords(fl_b, H, W)
         if with_mask:
-            x0i = jnp.floor(sx).astype(jnp.int32)
-            y0i = jnp.floor(sy).astype(jnp.int32)
-            fx = sx - jnp.floor(sx)
-            fy = sy - jnp.floor(sy)
-
-            def valid(xi, yi):
-                return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(
-                    jnp.float32)
-
-            ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
-                    + valid(x0i + 1, y0i) * fx * (1 - fy)
-                    + valid(x0i, y0i + 1) * (1 - fx) * fy
-                    + valid(x0i + 1, y0i + 1) * fx * fy)
-            g_b = g_b * (ones >= 0.999).astype(jnp.float32)[..., None]
+            g_b = g_b * ones_mask_sep(sx, sy, H, W)[..., None]
         dx = splat_at(g_b, sx, sy)                           # gather transpose
         x0 = jnp.floor(sx)
         y0 = jnp.floor(sy)

@@ -147,6 +147,50 @@ def test_gather_multi_matches_single(data):
                                        atol=1e-5)
 
 
+def test_ones_mask_separable_matches_corner_sum():
+    """ones_mask_sep (gx·gy closed form) vs the reference 4-corner weighted
+    sum, on random coords plus dense sub-pixel bands at every frame border
+    (where the factorization's ulp behavior matters)."""
+    H, W = 48, 64
+    rng = np.random.RandomState(7)
+    coords = [rng.uniform(-4, W + 4, size=(256,)),
+              np.linspace(-1.2, 0.2, 200),           # left band
+              np.linspace(W - 1.2, W + 0.2, 200)]    # right band
+    sx = jnp.asarray(np.concatenate(coords).astype(np.float32))[None, :]
+    coords_y = [rng.uniform(-4, H + 4, size=(256,)),
+                np.linspace(-1.2, 0.2, 200),
+                np.linspace(H - 1.2, H + 0.2, 200)]
+    sy = jnp.asarray(np.concatenate(coords_y).astype(np.float32))[:, None]
+    sx = jnp.broadcast_to(sx, (656, 656))
+    sy = jnp.broadcast_to(sy, (656, 656))
+
+    def corner_sum(sx, sy):
+        x0 = jnp.floor(sx)
+        y0 = jnp.floor(sy)
+        fx = sx - x0
+        fy = sy - y0
+
+        def valid(xi, yi):
+            return ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)).astype(
+                jnp.float32)
+
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        ones = (valid(x0i, y0i) * (1 - fx) * (1 - fy)
+                + valid(x0i + 1, y0i) * fx * (1 - fy)
+                + valid(x0i, y0i + 1) * (1 - fx) * fy
+                + valid(x0i + 1, y0i + 1) * fx * fy)
+        return (ones >= 0.999).astype(jnp.float32)
+
+    got = np.asarray(fastwarp.ones_mask_sep(sx, sy, H, W))
+    want = np.asarray(corner_sum(sx, sy))
+    # disagreement allowed only within 2 ulp of the 0.999 threshold band
+    gx = np.clip(np.minimum(np.asarray(sx) + 1, W - np.asarray(sx)), 0, 1)
+    gy = np.clip(np.minimum(np.asarray(sy) + 1, H - np.asarray(sy)), 0, 1)
+    band = np.abs(gx * gy - 0.999) < 1e-6
+    np.testing.assert_array_equal(got[~band], want[~band])
+
+
 def test_group_window_gather_matches_exact(data):
     """FLDRX_GWIN=group (one shared window DMA per K-tile grid step) must
     match the exact XLA gather — spill-free AND spilling flows (spills
@@ -175,6 +219,24 @@ def test_group_window_gather_matches_exact(data):
                                        atol=TOL)
     finally:
         os.environ.pop("FLDRX_GWIN", None)
+        importlib.reload(fastwarp)
+
+
+def test_pipe_bf16_close_to_exact(data):
+    """FLDRX_PIPE_BF16=1 (wide weight pipelines in bf16) stays within a
+    couple of extra roundings of the exact ops — gather and splat."""
+    x, small, big = data
+    os.environ["FLDRX_PIPE_BF16"] = "1"
+    importlib.reload(fastwarp)
+    try:
+        assert fastwarp._PIPE_BF16
+        for fl in (small, big):
+            np.testing.assert_allclose(fastwarp.bwarp_fast(x, fl),
+                                       bwarp(x, fl), atol=3 * TOL)
+            np.testing.assert_allclose(fastwarp.splat_sum_fast(x, fl),
+                                       splat_sum(x, fl), atol=3 * TOL)
+    finally:
+        os.environ.pop("FLDRX_PIPE_BF16", None)
         importlib.reload(fastwarp)
 
 
