@@ -303,13 +303,20 @@ def _bwarp_ones_mask(flow: jnp.ndarray) -> jnp.ndarray:
 
 
 def z_metrics(p: Params, x0, x1, flow_10, flow_01, fast: bool = False,
-              fused: bool = False):
+              fused: bool = False, tiled_out: bool = False):
     """Softsplat importance metrics z0/z1 (fLDRnet.py:439-446) — t-independent,
     so the multi-t path hoists them out of the per-t synthesis. fused=True
-    runs both backward warps in one fused gather launch (fast path only)."""
+    runs both backward warps in one fused gather launch (fast path only).
+
+    tiled_out=True (fused only, GTILE == TILE) keeps the whole z chain in
+    the warp kernels' tile domain — the gathered frame is reduced to z
+    without ever untiling, and the returned z [B, ntiles, N] feeds the
+    splat-vals tiling directly (synthesize_packed_multi). Bitwise the
+    same values as the full-res form, minus two 4K layout round trips."""
     z_alpha = p["z_alpha"].astype(x0.dtype)
     if fused and fast:
-        from ..ops.fastwarp import _sample_coords, gather_multi
+        from ..ops.fastwarp import (_sample_coords, _tile_flatten,
+                                    gather_multi, GTILE)
         B, H, W, _ = x0.shape
         outs0, outs1 = [], []
         for b in range(B):
@@ -317,12 +324,24 @@ def z_metrics(p: Params, x0, x1, flow_10, flow_01, fast: bool = False,
             sx0, sy0 = _sample_coords(flow_10[b], H, W)
             g10, g01 = gather_multi(
                 [x0[b], x1[b]],
-                [(1, sx1, sy1, True), (0, sx0, sy0, True)])
-            outs0.append(g10)
-            outs1.append(g01)
+                [(1, sx1, sy1, True), (0, sx0, sy0, True)],
+                tiled_out=tiled_out)
+            if tiled_out:
+                x0_t = _tile_flatten(x0[b], H, W, tile=GTILE)
+                x1_t = _tile_flatten(x1[b], H, W, tile=GTILE)
+                outs0.append(jnp.mean(z_alpha[0] * jnp.abs(x0_t - g10),
+                                      axis=-1))
+                outs1.append(jnp.mean(z_alpha[1] * jnp.abs(x1_t - g01),
+                                      axis=-1))
+            else:
+                outs0.append(g10)
+                outs1.append(g01)
+        if tiled_out:
+            return jnp.stack(outs0, 0), jnp.stack(outs1, 0)  # [B, nt, N]
         im_1_0 = jnp.stack(outs0, 0)
         im_0_1 = jnp.stack(outs1, 0)
     else:
+        assert not tiled_out
         bw, _ = _warp_fns(fast)
         im_1_0 = bw(x1, flow_01)
         im_0_1 = bw(x0, flow_10)
@@ -595,10 +614,25 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
     def softsplat_vals(x, z):
         inp01 = (x + 1.0) * 0.5
         m = jnp.exp(z)
-        return jnp.concatenate([inp01 * m, m], axis=-1)        # [B,H,W,4]
+        return jnp.concatenate([inp01 * m, m], axis=-1)        # [..., 4]
 
-    vals0 = softsplat_vals(x0, z0)
-    vals1 = softsplat_vals(x1, z1)
+    # tiled z chain (flow_extras with GTILE == TILE): z arrives
+    # [B, ntiles, N]; build the splat vals directly in tile domain —
+    # bitwise the same values, two fewer 4K layout round trips
+    ztiled = z0.ndim == 3
+    if ztiled:
+        from ..ops.fastwarp import TILE as _T
+
+        def tile_b(x):
+            a = x.reshape(B, H // _T, _T, W // _T, _T, -1)
+            return jnp.moveaxis(a, 3, 2).reshape(
+                B, (H // _T) * (W // _T), _T * _T, -1)
+
+        vals0 = softsplat_vals(tile_b(x0), z0[..., None])
+        vals1 = softsplat_vals(tile_b(x1), z1[..., None])
+    else:
+        vals0 = softsplat_vals(x0, z0)
+        vals1 = softsplat_vals(x1, z1)
     xsF = jnp.arange(W, dtype=jnp.float32)
     ysF = jnp.arange(H, dtype=jnp.float32)
 
@@ -630,7 +664,7 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
                           ysF[:, None] + flow_t0f[k][b, ..., 1]))
             probs.append((vals1[b], xsF[None, :] + flow_t1f[k][b, ..., 0],
                           ysF[:, None] + flow_t1f[k][b, ..., 1]))
-        souts = splat_multi(probs)
+        souts = splat_multi(probs, vals_tiled=ztiled)
         gimgs, gprobs = [], []
         for k in range(T):
             sx0, sy0 = _sample_coords(fbfl0[k][b], h, w)
@@ -848,8 +882,12 @@ def flow_extras(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
     flow_10 = upscale * resize_2d(flow[..., 0:2], (H, W), "bilinear")
     flow_01 = upscale * resize_2d(flow[..., 2:4], (H, W), "bilinear")
     packed = _packed_enabled(cfg) and can_use_packed(flow, images)
+    from ..ops import fastwarp as _fw
+    ztiled = packed and _fw.GTILE == _fw.TILE    # tiled z chain: the
+    # gather's tile order must match the splat's vals tiling downstream
     z0, z1 = z_metrics(params["vfinet"], images[:, 0], images[:, 1],
-                       flow_10, flow_01, fast, fused=packed)
+                       flow_10, flow_01, fast, fused=packed,
+                       tiled_out=ztiled)
     if packed:
         x0P, x1P = _planes_batch(images[:, 0]), _planes_batch(images[:, 1])
         f10P, f01P = _planes_batch(flow_10), _planes_batch(flow_01)

@@ -669,7 +669,8 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
             else _tile_unflatten(out_t, H, W, tile=GTILE))
 
 
-def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
+def gather_multi(imgs, problems, planes_out=False, coords_tiled=False,
+                 tiled_out=False):
     """N independent bilinear gathers in ONE kernel launch.
 
     imgs: list of [H, W, C] source images (same shape); problems: list of
@@ -680,7 +681,13 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
     origins carry its image's base row — the kernel is completely
     unchanged; only the per-launch prologue/epilogue cost is paid once
     instead of N times. Returns a list of per-problem outputs.
+
+    tiled_out=True returns [ntiles, N, C] in GTILE row-major tile order
+    (mask + spill fixups applied) with NO untile epilogue — for consumers
+    that reduce in tile domain (z_metrics) or feed the splat's tiling
+    directly (requires GTILE == TILE there).
     """
+    assert not (tiled_out and planes_out)
     H, W, C = imgs[0].shape
     n_tiles = (H // GTILE) * (W // GTILE)
     fallback = (H % GTILE or W % GTILE or H < GTILE or W < GTILE
@@ -704,8 +711,11 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
                     flat = jnp.stack(ps, 1)            # [H/4, 4, W]
                     return flat.reshape(H, W)
                 sx, sy = unt(sx), unt(sy)
-            outs.append(gather_at(imgs[idx], sx, sy, planes_out=planes_out,
-                                  bwarp_mask=m))
+            out = gather_at(imgs[idx], sx, sy, planes_out=planes_out,
+                            bwarp_mask=m)
+            if tiled_out:
+                out = _tile_flatten(out, H, W, tile=GTILE)
+            outs.append(out)
         return outs
     assert C <= CHUNK
     cp, winx, qx = _win_geom(C)
@@ -749,8 +759,11 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False):
                                  ok_t, n_tiles, C)
         if m:
             out_t = out_t * _bwarp_mask_tiled(sx_t, sy_t, H, W)[..., None]
-        outs.append(_tile_planes_us(out_t, H, W) if planes_out
-                    else _tile_unflatten(out_t, H, W, tile=GTILE))
+        if tiled_out:
+            outs.append(out_t)
+        else:
+            outs.append(_tile_planes_us(out_t, H, W) if planes_out
+                        else _tile_unflatten(out_t, H, W, tile=GTILE))
     return outs
 
 
@@ -1249,20 +1262,29 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
                            n_tiles, H, W, C)
 
 
-def splat_multi(problems):
+def splat_multi(problems, vals_tiled=False):
     """N independent bilinear scatter-adds in ONE u-plane kernel launch.
 
     problems: list of (vals [H,W,C], tx [H,W], ty [H,W]) — same shapes.
     The kernel sweeps all problems' tiles in one continuous strip pass
     (per-problem boundary drains), paying the launch prologue once.
     Returns a list of u-plane outputs [4, H/4, W·Cp] (channels padded to
-    the kernel quantum Cp — see splat_at planes_out)."""
-    H, W, C = problems[0][0].shape
+    the kernel quantum Cp — see splat_at planes_out).
+
+    vals_tiled=True: each problem's vals arrive PRE-TILED [ntiles, N, C]
+    in TILE row-major order (the tiled z/vals chain skips the full-res
+    round trip); tx/ty stay plain [H, W] fields."""
+    if vals_tiled:
+        H, W = problems[0][1].shape
+        C = problems[0][0].shape[-1]
+    else:
+        H, W, C = problems[0][0].shape
     fallback = (H % TILE or W % TILE or H < TILE or W < TILE
                 or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
                 or (jax.default_backend() != "tpu" and not _INTERPRET))
     if fallback:
-        return [splat_at(v, tx, ty, planes_out=True)
+        return [splat_at(_tile_unflatten(v, H, W) if vals_tiled else v,
+                         tx, ty, planes_out=True)
                 for v, tx, ty in problems]
     assert C <= CHUNK
     cp, winx, qx = _win_geom(C, wide=False)
@@ -1272,10 +1294,11 @@ def splat_multi(problems):
     per, all_origins, all_rel, all_valsT = [], [], [], []
     for vals, tx, ty in problems:
         if cp != C:
-            vals = jnp.pad(vals, ((0, 0), (0, 0), (0, cp - C)))
+            pad = ((0, 0), (0, 0), (0, cp - C))
+            vals = jnp.pad(vals, pad)
         tx_t = _tile_flatten(tx, H, W)
         ty_t = _tile_flatten(ty, H, W)
-        vals_t = _tile_flatten(vals, H, W)
+        vals_t = vals if vals_tiled else _tile_flatten(vals, H, W)
         oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
         ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
         # coords-pushed spill neutralization (see splat_at): keeps the
