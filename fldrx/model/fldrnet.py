@@ -763,24 +763,27 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
         out = out.astype(jnp.float32)                     # [B,Hp4,Wp4,96]
 
         tb5 = ts[k].reshape(B, 1, 1, 1, 1).astype(jnp.float32)
+        # fold the (1−t)/t candidate weights into the softmax logits:
+        # t_i·exp(o_i/T) = exp(o_i/T + log t_i), so the re-normalizing
+        # divisor cancels EXACTLY (fLDRnet.py:512-519 algebra) — saves the
+        # divisor sum, the final divide and six broadcast multiplies per
+        # u-plane (weights differ by ~1 ulp from the two-step form;
+        # fast-path only — `synthesize` keeps the reference arithmetic)
+        logt = jnp.log(tb5)
+        log1mt = jnp.log(1.0 - tb5)
+        bias = jnp.concatenate(
+            [log1mt, logt, log1mt, logt, log1mt, logt], -1)  # [B,1,1,1,6]
         out_planes = []
         for u in range(4):
-            occ = jax.nn.softmax(
+            p6 = jax.nn.softmax(
                 out[..., u * 24:u * 24 + 24].reshape(
-                    B, Hp4, Wp4, 4, 6)[..., :6] / Tparam, axis=-1)
-            w0 = (1 - tb5) * occ[..., 0:1]
-            w1 = tb5 * occ[..., 1:2]
-            w2 = (1 - tb5) * occ[..., 2:3]
-            w3 = tb5 * occ[..., 3:4]
-            w4 = (1 - tb5) * occ[..., 4:5]
-            w5 = tb5 * occ[..., 5:6]
-            divisor = w0 + w1 + w2 + w3 + w4 + w5
-            out_u = (w0 * cells(warped0P[k], u, 3)
-                     + w1 * cells(warped1P[k], u, 3)
-                     + w2 * cells(im0P[k], u, 3)
-                     + w3 * cells(im1P[k], u, 3)
-                     + w4 * cells(x0P, u, 3)
-                     + w5 * cells(x1P, u, 3)) / divisor
+                    B, Hp4, Wp4, 4, 6) / Tparam + bias, axis=-1)
+            out_u = (p6[..., 0:1] * cells(warped0P[k], u, 3)
+                     + p6[..., 1:2] * cells(warped1P[k], u, 3)
+                     + p6[..., 2:3] * cells(im0P[k], u, 3)
+                     + p6[..., 3:4] * cells(im1P[k], u, 3)
+                     + p6[..., 4:5] * cells(x0P, u, 3)
+                     + p6[..., 5:6] * cells(x1P, u, 3))
             out_planes.append(out_u.reshape(B, Hp4, W * 3))
 
         outP = jnp.stack(out_planes, axis=1)              # [B,4,Hp4,W·3]
