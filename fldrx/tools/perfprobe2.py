@@ -88,18 +88,27 @@ def main():
             nz = jnp.where(nz == 0.0, jnp.ones_like(nz), nz)
             return ((s[..., :-1] / nz - 0.5) * 2.0).reshape(4, Hp4, W * 3)
 
+        ztiled = z0.ndim == 3            # tiled z chain (flow_extras)
         if "splat" in skip:
             warped0P, warped1P = x0P, x1P
         else:
-            vals0 = softsplat_vals(x0, z0)
-            vals1 = softsplat_vals(x1, z1)
+            if ztiled:
+                def tile_b(x):
+                    a = x.reshape(B, H // 32, 32, W // 32, 32, -1)
+                    return jnp.moveaxis(a, 3, 2).reshape(
+                        B, (H // 32) * (W // 32), 32 * 32, -1)
+                vals0 = softsplat_vals(tile_b(x0), z0[..., None])
+                vals1 = softsplat_vals(tile_b(x1), z1[..., None])
+            else:
+                vals0 = softsplat_vals(x0, z0)
+                vals1 = softsplat_vals(x1, z1)
             ft0 = tb * flow_01f
             ft1 = (1.0 - tb) * flow_10f
             s0, s1 = splat_multi(
                 [(vals0[0], xsF[None] + ft0[0, ..., 0],
                   ysF[:, None] + ft0[0, ..., 1]),
                  (vals1[0], xsF[None] + ft1[0, ..., 0],
-                  ysF[:, None] + ft1[0, ..., 1])])
+                  ysF[:, None] + ft1[0, ..., 1])], vals_tiled=ztiled)
             warped0P = norm_planes(s0)[None]
             warped1P = norm_planes(s1)[None]
 
@@ -166,21 +175,21 @@ def main():
         tb5 = t.reshape(B, 1, 1, 1, 1)
         if "blend" in skip:
             return out
+        logt = jnp.log(tb5)
+        log1mt = jnp.log(1.0 - tb5)
+        bias = jnp.concatenate(
+            [log1mt, logt, log1mt, logt, log1mt, logt], -1)
         planes = []
         for u in range(4):
-            occ = jax.nn.softmax(
-                out[..., u * 24:u * 24 + 24].reshape(B, Hp4, Wp4, 4, 6) / T,
-                -1)
-            w0 = (1 - tb5) * occ[..., 0:1]
-            w1 = tb5 * occ[..., 1:2]
-            w2 = (1 - tb5) * occ[..., 2:3]
-            w3 = tb5 * occ[..., 3:4]
-            w4 = (1 - tb5) * occ[..., 4:5]
-            w5 = tb5 * occ[..., 5:6]
-            div = w0 + w1 + w2 + w3 + w4 + w5
-            ou = (w0 * cells(warped0P, u, 3) + w1 * cells(warped1P, u, 3)
-                  + w2 * cells(im0P, u, 3) + w3 * cells(im1P, u, 3)
-                  + w4 * cells(x0P, u, 3) + w5 * cells(x1P, u, 3)) / div
+            p6 = jax.nn.softmax(
+                out[..., u * 24:u * 24 + 24].reshape(B, Hp4, Wp4, 4, 6) / T
+                + bias, -1)
+            ou = (p6[..., 0:1] * cells(warped0P, u, 3)
+                  + p6[..., 1:2] * cells(warped1P, u, 3)
+                  + p6[..., 2:3] * cells(im0P, u, 3)
+                  + p6[..., 3:4] * cells(im1P, u, 3)
+                  + p6[..., 4:5] * cells(x0P, u, 3)
+                  + p6[..., 5:6] * cells(x1P, u, 3))
             planes.append(ou.reshape(B, Hp4, W * 3))
         outP = jnp.stack(planes, 1)
         if "interleave" in skip:
