@@ -158,6 +158,31 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     pending: List = []          # buffered (idx, frames, t, scene) of one pair
     pending_key = [None]
 
+    # device/host pipelining: all of a pair's synthesis chunks are
+    # DISPATCHED before any output is fetched (JAX async dispatch → chunk
+    # k's D2H rides under chunk k+1's compute; the relay's D2H of 7×38 MB
+    # per pair otherwise serializes against an idle device).
+    # FLDRX_EVAL_DEFER=1 additionally defers the fetch one pair deep, so
+    # pair N's fetch+metrics hide under pair N+1's flow/synthesis — costs
+    # ~266 MB extra live HBM for the held outputs (measure before
+    # defaulting: chunk-4's schedule degraded under memory pressure).
+    defer = bool(int(os.environ.get("FLDRX_EVAL_DEFER", "0")))
+    deferred: List = []
+
+    def finish(entry):
+        items, outs, t0 = entry
+        preds: List[np.ndarray] = []
+        for out in outs:
+            preds.extend(np.asarray(out)[:, 0])
+        dt = (time.time() - t0) / len(items)
+        for (idx, frames, t, scene), pred in zip(items, preds):
+            pred_time.update(dt)
+            process_item(idx, frames, t, scene, pred)
+
+    def finish_all():
+        while deferred:
+            finish(deferred.pop(0))
+
     def flush_group():
         if not pending:
             return
@@ -165,21 +190,21 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         H, W = inputs.shape[2], inputs.shape[3]
         t0 = time.time()
         ts = [it[2] for it in pending]
-        preds: List[np.ndarray] = []
         if parallel_eval is not None:
-            preds = list(np.asarray(parallel_eval(inputs, ts)))
+            # parallel_eval returns [T, H, W, 3]: normalize to chunk shape
+            entry = (list(pending),
+                     [np.asarray(parallel_eval(inputs, ts))[:, None]], t0)
         else:
             flow, padded, extras = interp.precompute_flow(inputs)
-            for k in range(0, len(ts), tchunk):
-                out = interp.synthesize_multi_at(flow, padded,
-                                                 ts[k:k + tchunk],
-                                                 (H, W), extras)
-                preds.extend(np.asarray(out)[:, 0])
-        dt = (time.time() - t0) / len(pending)
-        for (idx, frames, t, scene), pred in zip(pending, preds):
-            pred_time.update(dt)
-            process_item(idx, frames, t, scene, pred)
+            outs = [interp.synthesize_multi_at(flow, padded,
+                                               ts[k:k + tchunk],
+                                               (H, W), extras)
+                    for k in range(0, len(ts), tchunk)]
+            entry = (list(pending), outs, t0)
         pending.clear()
+        deferred.append(entry)
+        while len(deferred) > (1 if defer else 0):
+            finish(deferred.pop(0))
 
     stop = False
     for idx, (frames, t, scene) in enumerate(test_samples(ds, patch)):
@@ -193,6 +218,7 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         pair_key = ds.items[idx].paths[:2] if hasattr(ds, "items") else None
         if pair_key is None:
             flush_group()
+            finish_all()        # drain queued device work before timing
             t0 = time.time()
             pred = interp.interpolate_np(frames[None, :2],
                                          np.full((1, 1), t, np.float32))[0]
@@ -206,6 +232,7 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         if stop_at != -1 and idx > stop_at:   # --stoptestat (main.py:972-974)
             stop = True
     flush_group()
+    finish_all()
     drain()
     pool.shutdown()
 
