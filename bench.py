@@ -109,18 +109,27 @@ def main():
                          ("gather_fb0.5", 0.5 * flow_10)):
             xs = jnp.arange(Wp, dtype=jnp.float32)
             ys = jnp.arange(Hp, dtype=jnp.float32)
-            tx = fw._tile_flatten(xs[None, :] + fl[0, ..., 0], Hp, Wp)
-            ty = fw._tile_flatten(ys[:, None] + fl[0, ..., 1], Hp, Wp)
-            cp, winx, qx = fw._win_geom(4)
             if name.startswith("splat"):
+                tx = fw._tile_flatten(xs[None, :] + fl[0, ..., 0], Hp, Wp)
+                ty = fw._tile_flatten(ys[:, None] + fl[0, ..., 1], Hp, Wp)
+                cp, winx, qx = fw._win_geom(4, wide=False)
                 oy, ox = fw._origins_strip(tx, ty, Wp // 32, Wp, fw.WINY_S,
                                            winx, qx, winx)
                 ok = fw._ok_mask(tx, ty, oy, ox, fw.STRIPH, winx)
             else:
-                oy, ox = fw._origins(tx, ty, Hp, Wp, fw.WINY_G, winx, qx,
-                                     fw.WINY_G, winx)
+                # honors FLDRX_GWIN/GTILE (group-mean origins spill
+                # differently than per-tile adaptive ones)
+                tx = fw._tile_flatten(xs[None, :] + fl[0, ..., 0], Hp, Wp,
+                                      tile=fw.GTILE)
+                ty = fw._tile_flatten(ys[:, None] + fl[0, ..., 1], Hp, Wp,
+                                      tile=fw.GTILE)
+                cp, winx, qx = fw._win_geom(4)
+                _, oy, ox = fw._gather_origins(
+                    tx, ty, Hp, Wp, fw.WINY_G, winx, qx, fw.WINY_G, winx,
+                    fw._pick_k(Wp // fw.GTILE), fw.GTILE)
                 ok = fw._ok_mask(tx, ty, oy, ox, fw.WINY_G, winx)
             bad = int(jnp.sum(~jnp.all(ok, axis=1)))
+            n_tiles = ok.shape[0]
             print(f"# spills[{name}]: {bad}/{n_tiles} tiles "
                   f"(tiers {fw.SPLAT_SPILL_TIERS if 'splat' in name else fw.GATHER_SPILL_TIERS})",
                   file=sys.stderr)
