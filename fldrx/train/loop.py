@@ -125,6 +125,10 @@ def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
     step_fn = make_train_step(cfg, mesh)
 
     scalar_log = os.path.join(cfg.text_dir, f"{cfg.model_dir}_scalars.jsonl")
+    # real TensorBoard event files next to the jsonl (the reference's
+    # SummaryWriter scalars, main.py:23,449-452) — dependency-free writer
+    from ..utils.tbevents import EventWriter
+    tb = EventWriter(os.path.join(cfg.log_dir, f"exp_{cfg.exp_num}"))
 
     if verbose:
         n = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(params))
@@ -193,7 +197,14 @@ def train(cfg: FLDRConfig, mesh=None, max_steps_per_epoch: Optional[int] = None,
                 "train_psnr": batch_psnr.avg, "val_loss": test_loss,
                 "val_psnr": test_psnr, "best_psnr": best_psnr,
             }) + "\n")
+        tb.add_scalars({
+            "Loss/train": losses.avg, "Loss/warp": warp_loss.avg,
+            "PSNR/train": batch_psnr.avg, "Loss/val": test_loss,
+            "PSNR/val": test_psnr, "PSNR/best": best_psnr,
+        }, step=int(state.step))
+        tb.flush()
 
+    tb.close()
     return state.params, best_psnr
 
 

@@ -14,6 +14,25 @@ from fldrx.train.losses import (distillation_loss, orthogonality_loss,
 from fldrx.eval.visualize import flow_to_image, make_color_wheel, pyramid_grid
 
 
+def test_tb_event_writer_roundtrip(tmp_path):
+    """The dependency-free TensorBoard writer produces records our own
+    parser (CRC-checked TFRecord framing + Event proto) reads back; the
+    file carries the brain.Event:2 version header first."""
+    from fldrx.utils.tbevents import EventWriter, read_events
+
+    w = EventWriter(str(tmp_path))
+    w.add_scalar("Loss/train", 0.5, step=1)
+    w.add_scalars({"Loss/train": 0.25, "PSNR/val": 33.5}, step=2)
+    w.close()
+    got = read_events(w.path)
+    assert got[0] == (1, {"Loss/train": 0.5})
+    assert got[1][0] == 2
+    assert abs(got[1][1]["PSNR/val"] - 33.5) < 1e-6
+    with open(w.path, "rb") as f:
+        raw = f.read()
+    assert b"brain.Event:2" in raw[:64]
+
+
 def test_pca_inverse_roundtrip():
     rng = np.random.RandomState(0)
     img = rng.randn(64, 96)                    # 96 blocks ≥ 64 → full rank
