@@ -1,0 +1,52 @@
+"""Probe: conv3x3_pixrows at the refine UNet's two big shapes.
+
+Run as: FLDRX_CONV_BH=8|16|32 python -u /tmp/convprobe.py (fresh process
+per BH — read at fastconv import).
+"""
+import os, sys, time
+import numpy as np
+import jax, jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from fldrx.ops.fastconv import conv3x3_pixrows
+
+REPS = 3
+CHAIN = 6
+
+
+def probe(name, H, W, Cin, K):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, H, W, Cin).astype(np.float32)).astype(
+        jnp.bfloat16)
+    w = jnp.asarray((rng.rand(3, 3, Cin, K) * 0.1).astype(np.float32))
+    b = jnp.zeros((K,), jnp.float32)
+    w2 = jnp.asarray((rng.rand(3, 3, K, Cin) * 0.1).astype(np.float32))
+    b2 = jnp.zeros((Cin,), jnp.float32)
+
+    def chain(x):
+        out = x
+        for _ in range(CHAIN):
+            y = conv3x3_pixrows(out, w, b)            # Cin -> K
+            out = conv3x3_pixrows(y, w2, b2)          # K -> Cin (re-chain)
+        return jnp.sum(out.astype(jnp.float32))
+
+    f = jax.jit(chain)
+    float(f(x))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        float(f(x))
+    ms = (time.perf_counter() - t0) / REPS / CHAIN * 1e3
+    gmac = (H * W * Cin * K * 9 + H * W * K * Cin * 9) / 1e9
+    print(f"BH={os.environ.get('FLDRX_CONV_BH', '8'):>3s} {name:>6s} "
+          f"[{H}x{W}] {Cin}->{K}->{Cin}: {ms:7.2f} ms/pairconv "
+          f"({gmac / max(ms, 1e-9) * 1e3 * 2:6.0f} GFLOP/s)", flush=True)
+
+
+def main():
+    probe("enc1", 576, 1024, 416, 64)     # quarter grid, s2d4 input
+    probe("dec3", 576, 1024, 256, 96)     # output head
+    probe("enc3", 288, 512, 128, 64)      # eighth grid
+
+
+if __name__ == "__main__":
+    main()

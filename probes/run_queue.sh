@@ -1,0 +1,44 @@
+#!/bin/bash
+# TPU measurement queue, time-critical order (driver runs bench.py at round
+# end anyway, so probes that decide default flips come first).
+cd /root/repo
+L() { echo "=== $* — $(date)"; }
+
+L "sanity"
+timeout 180 python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,8)))))" || exit 1
+
+L "A1. gwprobe tile (baseline)"
+FLDRX_GWIN=tile  timeout 1200 python -u probes/gwprobe.py
+L "A2. gwprobe group"
+FLDRX_GWIN=group timeout 1200 python -u probes/gwprobe.py
+L "A3. spprobe baseline"
+timeout 1200 python -u probes/spprobe.py
+L "A4. spprobe PIPE_BF16"
+FLDRX_PIPE_BF16=1 timeout 1200 python -u probes/spprobe.py
+L "A5. gwprobe PIPE_BF16 (+group)"
+FLDRX_PIPE_BF16=1 timeout 1200 python -u probes/gwprobe.py
+FLDRX_PIPE_BF16=1 FLDRX_GWIN=group timeout 1200 python -u probes/gwprobe.py
+
+L "B1. bench defaults (re-baseline after always-on r3 changes)"
+timeout 2400 python bench.py
+L "B2. bench group"
+FLDRX_GWIN=group timeout 2400 python bench.py
+L "B3. bench group+pipe"
+FLDRX_PIPE_BF16=1 FLDRX_GWIN=group timeout 2400 python bench.py
+
+L "C1. group K=16"
+FLDRX_GWIN=group FLDRX_GK=16 timeout 1200 python -u probes/gwprobe.py
+L "C2. winy 256 (DMA-row theory)"
+FLDRX_WINY_G=256 timeout 1200 python -u probes/wprobe.py
+L "C3. GTILE=64 tile/group"
+FLDRX_GTILE=64 timeout 1800 python -u probes/wprobe.py
+FLDRX_GTILE=64 FLDRX_GWIN=group timeout 1800 python -u probes/gwprobe.py
+L "C4. UNet conv BH sweep"
+for bh in 8 16 32 64; do
+  FLDRX_CONV_BH=$bh timeout 1800 python -u probes/convprobe.py
+done
+
+L "D. goldenclip quality gate for PIPE_BF16 (only meaningful if A4/A5 won)"
+FLDRX_PIPE_BF16=1 timeout 3600 python -u -m fldrx.tools.goldenclip_report || true
+
+L "queue complete"
