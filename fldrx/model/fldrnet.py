@@ -316,12 +316,23 @@ def z_metrics(p: Params, x0, x1, flow_10, flow_01, fast: bool = False,
     z_alpha = p["z_alpha"].astype(x0.dtype)
     if fused and fast:
         from ..ops.fastwarp import (_sample_coords, _tile_flatten,
-                                    gather_multi, GTILE)
-        B, H, W, _ = x0.shape
+                                    gather_multi, gather_z_multi, Z_KERNEL,
+                                    GTILE)
+        B, H, W, C = x0.shape
         outs0, outs1 = [], []
         for b in range(B):
             sx1, sy1 = _sample_coords(flow_01[b], H, W)
             sx0, sy0 = _sample_coords(flow_10[b], H, W)
+            if tiled_out and Z_KERNEL:
+                # FLDRX_ZKERNEL: mask/diff/abs/sum fused into the gather
+                # kernel — the warped frames never reach HBM; only the
+                # z_alpha/mean rounding order differs (~ulp)
+                zs = gather_z_multi(
+                    [x0[b], x1[b]],
+                    [(1, sx1, sy1, x0[b]), (0, sx0, sy0, x1[b])])
+                outs0.append(z_alpha[0] * zs[0] / C)
+                outs1.append(z_alpha[1] * zs[1] / C)
+                continue
             g10, g01 = gather_multi(
                 [x0[b], x1[b]],
                 [(1, sx1, sy1, True), (0, sx0, sy0, True)],

@@ -119,6 +119,15 @@ _PIPE_BF16 = bool(int(os.environ.get("FLDRX_PIPE_BF16", "0")))
                            # (values already round once at the MXU):
                            # quality-gate on the golden clip before
                            # defaulting on.
+Z_KERNEL = bool(int(os.environ.get("FLDRX_ZKERNEL", "0")))
+                           # compute the z-metric reduction Σ_c|self−out·m|
+                           # INSIDE the gather kernel (gather_z_multi): the
+                           # full-res warped frame never leaves the kernel —
+                           # saves the mask/diff/mean XLA passes and 4× of
+                           # output HBM traffic for the two z warps per pair.
+                           # Default off until TPU-measured (probes/zprobe);
+                           # z values differ from the XLA chain only in the
+                           # z_alpha/mean rounding order (~ulp)
 _GWIN = os.environ.get("FLDRX_GWIN", "tile")     # gather window mode:
                            # "tile" = one DMA per tile (adaptive per-tile
                            # origins); "group" = ONE shared window DMA per
@@ -332,7 +341,17 @@ def _ok_mask(sx_t, sy_t, oy, ox, winy, winx):
 # gather (backward warp)
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
+def _z_epilogue(C, outT, coords_j):
+    """In-kernel z reduction: rows 2.. of the coords block carry the bwarp
+    mask and the self frame's channels; returns Σ_c |self_c − out_c·m| as a
+    [1, N] row (bitwise the gather→mask→diff→abs→sum chain, minus the HBM
+    round trip of the full warped frame)."""
+    m = coords_j[2:3, :]
+    selfT = coords_j[3:3 + C, :]
+    return jnp.sum(jnp.abs(selfT - outT[:C] * m), axis=0, keepdims=True)
+
+
+def _gather_kernel(C, winx, K, winy, zred, origins_ref, img_hbm, coords_ref,
                    out_ref, win_ref, sem):
     """K output tiles per grid step; per-tile window DMAs double-buffered
     across steps (the next step's K windows stream in while this step's
@@ -347,6 +366,10 @@ def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
     iota-compare one-hots — bitwise identical on in-window pixels (the two
     taps are the hat's only nonzeros) and ~15% faster (the mask pipeline on
     [N, winx·C] is the kernel's VPU bottleneck, measured).
+
+    zred=True (gather_z_multi): the coords block carries (rx, ry, mask,
+    self_0..self_{C-1}) rows and the kernel emits the z-metric row per tile
+    ([K, N] block) instead of the gathered frame.
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -384,6 +407,7 @@ def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
     cc = jax.lax.broadcasted_iota(jnp.int32, (128, C), 1)
     M = (jc == cc).astype(jnp.bfloat16)
 
+    zrows = []
     for j in range(K):
         rxr = coords_ref[j, 0:1, :]                        # [1, N]
         ryr = coords_ref[j, 1:2, :]
@@ -408,10 +432,15 @@ def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
         outT = jax.lax.dot_general(M, _x_fold(t1, ufl, xcol, wC),
                                    (((0,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-        out_ref[j] = outT
+        if zred:
+            zrows.append(_z_epilogue(zred, outT, coords_ref[j]))
+        else:
+            out_ref[j] = outT
+    if zred:
+        out_ref[...] = jnp.concatenate(zrows, axis=0)
 
 
-def _gather_kernel_grp(C, winx, K, winy, gtile, origins_ref, img_hbm,
+def _gather_kernel_grp(C, winx, K, winy, gtile, zred, origins_ref, img_hbm,
                        coords_ref, out_ref, win_ref, sem):
     """Shared-window variant of _gather_kernel: the K tiles of a grid step
     (one contiguous run of a tile row) read ONE window of
@@ -450,6 +479,7 @@ def _gather_kernel_grp(C, winx, K, winy, gtile, origins_ref, img_hbm,
     M = (jc == cc).astype(jnp.bfloat16)
 
     window_dma(i, i % 2).wait()
+    zrows = []
     for j in range(K):
         rxr = coords_ref[j, 0:1, :]                        # [1, N]
         ryr = coords_ref[j, 1:2, :]
@@ -463,43 +493,58 @@ def _gather_kernel_grp(C, winx, K, winy, gtile, origins_ref, img_hbm,
         outT = jax.lax.dot_general(M, _x_fold(t1, ufl, xcol, wC),
                                    (((0,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-        out_ref[j] = outT
+        if zred:
+            zrows.append(_z_epilogue(zred, outT, coords_ref[j]))
+        else:
+            out_ref[j] = outT
+    if zred:
+        out_ref[...] = jnp.concatenate(zrows, axis=0)
 
 
 def _gather_fast(img_pad2d, rel_coords, origins, n_tiles, C, winx, K,
-                 winy=None, tile=None, group=False):
+                 winy=None, tile=None, group=False, zred=0):
+    """zred=C_real: rel_coords is [ntiles, 3+C_real, N] (rx, ry, mask,
+    self channels) and the launch returns the z rows [ntiles, N] instead of
+    the gathered frame [ntiles, N, C]."""
     winy = winy or WINY_G
     tile = tile or GTILE
     N = tile * tile
     if group:
         wtot = (K - 1) * tile + winx
         kernel = functools.partial(_gather_kernel_grp, C, winx, K, winy,
-                                   tile)
+                                   tile, zred)
         scratch = [pltpu.VMEM((2, winy, wtot * C), jnp.bfloat16),
                    pltpu.SemaphoreType.DMA((2,))]
     else:
-        kernel = functools.partial(_gather_kernel, C, winx, K, winy)
+        kernel = functools.partial(_gather_kernel, C, winx, K, winy, zred)
         scratch = [pltpu.VMEM((2, K, winy, winx * C), jnp.bfloat16),
                    pltpu.SemaphoreType.DMA((2, K))]
+    crows = 3 + zred if zred else 2
+    out_spec = (pl.BlockSpec((K, N), lambda i, o: (i, 0)) if zred
+                else pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)))
+    out_shape = (jax.ShapeDtypeStruct((n_tiles, N), jnp.float32) if zred
+                 else jax.ShapeDtypeStruct((n_tiles, C, N), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)),
+            pl.BlockSpec((K, crows, N), lambda i, o: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)),
+        out_specs=out_spec,
         scratch_shapes=scratch,
     )
     out_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, C, N), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=_INTERPRET,
     )(origins, img_pad2d, rel_coords)
+    if zred:
+        return out_t                                       # [ntiles, N]
     return jnp.moveaxis(out_t, 1, 2)                       # [ntiles, N, C]
 
 
@@ -764,6 +809,126 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False,
         else:
             outs.append(_tile_planes_us(out_t, H, W) if planes_out
                         else _tile_unflatten(out_t, H, W, tile=GTILE))
+    return outs
+
+
+def _tile_gather_fix_z(img, self_rows, mask_t, sx_t, sy_t, z_t, ok_t,
+                       n_tiles):
+    """z-space exact fixup: tiles containing spilled pixels get their z rows
+    recomputed from the exact per-element gather (same tier structure and
+    capacities as _tile_gather_fix; the chain exact-gather → mask → diff →
+    abs → sum matches the in-kernel epilogue's op order)."""
+    from .warp import grid_sample_bilinear
+
+    tile_bad = ~jnp.all(ok_t, axis=1)              # [ntiles]
+    n_bad = jnp.sum(tile_bad)
+
+    def z_of(s_rows, m_rows, vals):
+        # s_rows [T, C, N], m_rows [T, N], vals [T, N, C] (exact gather)
+        s = jnp.moveaxis(s_rows, 1, 2)
+        return jnp.sum(jnp.abs(s - vals * m_rows[..., None]), axis=-1)
+
+    def fix_with_cap(cap):
+        def fix(z):
+            idx = jnp.nonzero(tile_bad, size=cap, fill_value=n_tiles)[0]
+            safe = jnp.minimum(idx, n_tiles - 1)
+            vals = grid_sample_bilinear(img[None], sx_t[safe][None],
+                                        sy_t[safe][None])[0]
+            return z.at[idx].set(
+                z_of(self_rows[safe], mask_t[safe], vals), mode="drop")
+        return fix
+
+    def full(z):
+        vals = grid_sample_bilinear(img[None], sx_t.reshape(1, n_tiles, -1),
+                                    sy_t.reshape(1, n_tiles, -1))[0]
+        return z_of(self_rows, mask_t, vals)
+
+    t1, t2 = GATHER_SPILL_TIERS
+    return jax.lax.cond(
+        n_bad == 0, lambda z: z,
+        lambda z: jax.lax.cond(
+            n_bad <= t1, fix_with_cap(t1),
+            lambda zz: jax.lax.cond(n_bad <= t2, fix_with_cap(t2), full, zz),
+            z),
+        z_t)
+
+
+def gather_z_multi(imgs, problems, use_kernel=None):
+    """The z-metric warps in ONE launch with the reduction fused in-kernel.
+
+    problems: list of (img_idx, sx, sy, self_img); each returns the row
+    z = Σ_c |self_c − m·gather(imgs[img_idx])_c| as [ntiles, N] in GTILE
+    row-major tile order, with m the bwarp 0.999 validity mask. The mask and
+    the self frame ride the coords block's padded sublanes (the [K, 2, N]
+    rel-coords block pads to 8 sublanes anyway, so 4 extra rows are free
+    DMA-wise) and the warped frame never leaves the kernel — vs the
+    tiled_out chain this saves the [ntiles, N, C] f32 HBM round trip and
+    the XLA mask/diff/abs/sum passes for the two z warps per pair.
+
+    use_kernel=None reads the FLDRX_ZKERNEL gate; the fallback computes the
+    identical values via gather_multi(tiled_out=True) + XLA reduce (callers
+    apply z_alpha/C to the returned sum either way, which reorders the
+    z_alpha multiply vs the reference mean(α·|d|) by ~1 ulp).
+    Reference: softsplat importance z = α·mean|x0 − bwarp(x1, flow)|
+    (/root/reference/fLDRnet.py:439-446).
+    """
+    if use_kernel is None:
+        use_kernel = Z_KERNEL
+    H, W, C = imgs[0].shape
+    n_tiles = (H // GTILE) * (W // GTILE)
+    assert not (H % GTILE or W % GTILE), "z chain requires GTILE-divisible"
+    if (not use_kernel or H < GTILE or W < GTILE
+            or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
+            or (jax.default_backend() != "tpu" and not _INTERPRET)):
+        outs = gather_multi(imgs,
+                            [(i, sx, sy, True) for i, sx, sy, _ in problems],
+                            tiled_out=True)
+        return [jnp.sum(jnp.abs(_tile_flatten(s, H, W, tile=GTILE) - o),
+                        axis=-1)
+                for o, (_, _, _, s) in zip(outs, problems)]
+    assert C <= 4, "z warps are frame warps"
+    cp, winx, qx = _win_geom(C)
+    pady, padx = WINY_G, winx
+    imgs_p = []
+    for img in imgs:
+        if cp != C:
+            img = jnp.pad(img, ((0, 0), (0, 0), (0, cp - C)))
+        imgs_p.append(jnp.pad(img, ((pady, pady), (padx, padx), (0, 0))))
+    Hp, Wp = imgs_p[0].shape[0], imgs_p[0].shape[1]
+    stack = jnp.concatenate(imgs_p, axis=0)
+    K = _pick_k(W // GTILE)
+    all_origins, all_rel, per = [], [], []
+    for idx, sx, sy, self_img in problems:
+        sx_t = _tile_flatten(sx, H, W, tile=GTILE)
+        sy_t = _tile_flatten(sy, H, W, tile=GTILE)
+        origins, oy, ox = _gather_origins(sx_t, sy_t, H, W, WINY_G, winx,
+                                          qx, pady, padx, K, GTILE,
+                                          row_base=idx * Hp)
+        ok_t = _ok_mask(sx_t, sy_t, oy, ox, WINY_G, winx)
+        mask_t = _bwarp_mask_tiled(sx_t, sy_t, H, W)
+        self_rows = jnp.stack(
+            [_tile_flatten(self_img[..., c], H, W, tile=GTILE)
+             for c in range(C)], axis=1)               # [nt, C, N]
+        all_origins.append(origins)
+        all_rel.append(jnp.concatenate(
+            [jnp.stack([sx_t - ox[:, None].astype(sx_t.dtype),
+                        sy_t - oy[:, None].astype(sy_t.dtype),
+                        mask_t], axis=1),
+             self_rows], axis=1))                      # [nt, 3+C, N]
+        per.append((idx, sx_t, sy_t, ok_t, mask_t, self_rows))
+
+    P = len(problems)
+    z_all = _gather_fast(
+        stack.reshape(len(imgs) * Hp, Wp * cp).astype(jnp.bfloat16),
+        jnp.concatenate(all_rel, 0), jnp.concatenate(all_origins, 0),
+        P * n_tiles, cp, winx, K, group=_GWIN == "group", zred=C)
+
+    outs = []
+    for pi, (idx, sx_t, sy_t, ok_t, mask_t, self_rows) in enumerate(per):
+        z_t = z_all[pi * n_tiles:(pi + 1) * n_tiles]
+        outs.append(_tile_gather_fix_z(imgs[idx][..., :C], self_rows,
+                                       mask_t, sx_t, sy_t, z_t, ok_t,
+                                       n_tiles))
     return outs
 
 

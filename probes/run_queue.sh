@@ -26,6 +26,10 @@ FLDRX_GWIN=group timeout 2400 python bench.py
 L "B3. bench group+pipe"
 FLDRX_PIPE_BF16=1 FLDRX_GWIN=group timeout 2400 python bench.py
 
+L "A6. zprobe (in-kernel z reduction; composes with group/pipe)"
+timeout 1200 python -u probes/zprobe.py
+FLDRX_GWIN=group timeout 1200 python -u probes/zprobe.py
+
 L "C1. group K=16"
 FLDRX_GWIN=group FLDRX_GK=16 timeout 1200 python -u probes/gwprobe.py
 L "C2. winy 256 (DMA-row theory)"

@@ -147,6 +147,27 @@ def test_gather_multi_matches_single(data):
                                        atol=1e-5)
 
 
+def test_gather_z_multi_matches_fallback(data):
+    """The in-kernel z reduction (FLDRX_ZKERNEL path) must match the
+    reference chain gather→mask→diff→abs→sum — spill-free AND spilling
+    flows (spilled tiles resolve through the z-space exact fixup tiers)."""
+    x, small, big = data
+    H, W = 128, 192
+    x2 = jnp.flip(x, axis=2)
+    for fl in (small, big):
+        sx1, sy1 = fastwarp._sample_coords(fl[0], H, W)
+        sx0, sy0 = fastwarp._sample_coords(-fl[0], H, W)
+        probs = [(1, sx1, sy1, x[0]), (0, sx0, sy0, x2[0])]
+        zk = fastwarp.gather_z_multi([x[0], x2[0]], probs, use_kernel=True)
+        zr = fastwarp.gather_z_multi([x[0], x2[0]], probs, use_kernel=False)
+        for a, b in zip(zk, zr):
+            assert a.shape == b.shape == ((H // fastwarp.GTILE)
+                                          * (W // fastwarp.GTILE),
+                                          fastwarp.GTILE ** 2)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3 * TOL)
+
+
 def test_ones_mask_separable_matches_corner_sum():
     """ones_mask_sep (gx·gy closed form) vs the reference 4-corner weighted
     sum, on random coords plus dense sub-pixel bands at every frame border
@@ -217,6 +238,13 @@ def test_group_window_gather_matches_exact(data):
                                      bwarp_mask=m)
             np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
                                        atol=TOL)
+        # in-kernel z reduction through the group-window kernel variant
+        zprobs = [(i, sx, sy, imgs[1 - i]) for i, sx, sy, _ in probs]
+        zk = fastwarp.gather_z_multi(imgs, zprobs, use_kernel=True)
+        zr = fastwarp.gather_z_multi(imgs, zprobs, use_kernel=False)
+        for a, b in zip(zk, zr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3 * TOL)
     finally:
         os.environ.pop("FLDRX_GWIN", None)
         importlib.reload(fastwarp)
