@@ -37,9 +37,10 @@ def main():
     flow_dtype = os.environ.get("FLDRX_BENCH_FLOW_DTYPE", "float32")
     unet_dtype = os.environ.get("FLDRX_BENCH_UNET_DTYPE", "")
     tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "3"))
+    tfuse = bool(int(os.environ.get("FLDRX_BENCH_T_FUSE", "0")))
     cfg = papermodel_test5().replace(compute_dtype=dtype, t_chunk=tchunk,
                                      flow_dtype=flow_dtype,
-                                     unet_dtype=unet_dtype)
+                                     unet_dtype=unet_dtype, t_fuse=tfuse)
     try:
         interp, cfg, _ = prepare_model(DEFAULT_NPZ, cfg)
     except FileNotFoundError:

@@ -670,10 +670,14 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
     fb1L = [[] for _ in range(T)]
     for b in range(B):
         probs = []
+        # hoist the per-b vals (ONE object per frame): splat_multi's
+        # identity-based dedup then ships 2 vals arrays for the 2T
+        # problems and routes p → p % 2 in the kernel's index_map
+        v0b, v1b = vals0[b], vals1[b]
         for k in range(T):
-            probs.append((vals0[b], xsF[None, :] + flow_t0f[k][b, ..., 0],
+            probs.append((v0b, xsF[None, :] + flow_t0f[k][b, ..., 0],
                           ysF[:, None] + flow_t0f[k][b, ..., 1]))
-            probs.append((vals1[b], xsF[None, :] + flow_t1f[k][b, ..., 0],
+            probs.append((v1b, xsF[None, :] + flow_t1f[k][b, ..., 0],
                           ysF[:, None] + flow_t1f[k][b, ..., 1]))
         souts = splat_multi(probs, vals_tiled=ztiled)
         gimgs, gprobs = [], []

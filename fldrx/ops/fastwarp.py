@@ -1217,21 +1217,34 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
 
 
 def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
-                       n_problems=1):
+                       n_problems=1, n_vals=None):
     """u-plane splat launch over n_problems stacked problems: output
     [4, n_problems·seg4, WpC]; within a problem's segment, canvas row y
-    lives at plane y%4, segment row y//4 + OYR_S/4."""
+    lives at plane y%4, segment row y//4 + OYR_S/4.
+
+    n_vals: cross-problem vals sharing — valsT holds only n_vals distinct
+    problems' values ([n_vals·ntiles, C, N]) and problem p reads vals set
+    p % n_vals via the BlockSpec index_map (the cross-t chunk's 2T splats
+    share 2 t-invariant vals arrays; without sharing the XLA prologue
+    materializes and pins a concat copy per problem — ~150 MB each at 4K)."""
     N = TILE * TILE
     ty, tx = H // TILE, W // TILE
     padx = winx
     WpC = (W + 2 * padx) * C
     seg4 = (H + STRIPH - TILE) // 4
+    spp = ty * tx // K                    # grid steps per problem
+    if n_vals:
+        vspec = pl.BlockSpec(
+            (K, C, N),
+            lambda i, o: (((i // spp) % n_vals) * spp + i % spp, 0, 0))
+    else:
+        vspec = pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_problems * ty * tx // K,),
         in_specs=[
             pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)),     # coords
-            pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)),     # values^T
+            vspec,                                               # values^T
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
@@ -1456,14 +1469,20 @@ def splat_multi(problems, vals_tiled=False):
     K = _pick_k(W // TILE)
     padx = winx
     txn = W // TILE
-    per, all_origins, all_rel, all_valsT = [], [], [], []
+    per, all_origins, all_rel = [], [], []
+    vseen, vlist, vids = {}, [], []       # dedupe repeated vals OBJECTS
     for vals, tx, ty in problems:
-        if cp != C:
-            pad = ((0, 0), (0, 0), (0, cp - C))
-            vals = jnp.pad(vals, pad)
+        if id(vals) not in vseen:
+            v = vals
+            if cp != C:
+                v = jnp.pad(v, ((0, 0), (0, 0), (0, cp - C)))
+            v_t = v if vals_tiled else _tile_flatten(v, H, W)
+            vseen[id(vals)] = (len(vlist), v_t)
+            vlist.append(jnp.moveaxis(v_t, 1, 2))
+        vi, vals_t = vseen[id(vals)]
+        vids.append(vi)
         tx_t = _tile_flatten(tx, H, W)
         ty_t = _tile_flatten(ty, H, W)
-        vals_t = vals if vals_tiled else _tile_flatten(vals, H, W)
         oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
         ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
         # coords-pushed spill neutralization (see splat_at): keeps the
@@ -1473,14 +1492,23 @@ def splat_multi(problems, vals_tiled=False):
         all_rel.append(jnp.stack(
             [tx_t - ox[:, None].astype(tx_t.dtype) - tile_bad * 1e6,
              ty_t - oy[:, None].astype(ty_t.dtype)], axis=1))
-        all_valsT.append(jnp.moveaxis(vals_t, 1, 2))
         per.append((vals_t, tx_t, ty_t, ok_t))
 
     n_tiles = per[0][3].shape[0]
+    # vals sharing: when problems cycle through n_vals distinct vals arrays
+    # (the cross-t chunk pattern vals0,vals1,vals0,vals1,…), ship only the
+    # distinct ones and let the kernel's index_map route p → p % n_vals
+    n_vals = len(vlist)
+    shared = (n_vals < len(problems)
+              and all(vi == p % n_vals for p, vi in enumerate(vids)))
+    if shared:
+        valsT_cat = jnp.concatenate(vlist, 0) if n_vals > 1 else vlist[0]
+    else:
+        valsT_cat = jnp.concatenate([vlist[vi] for vi in vids], 0)
     outs = _splat_fast_planes(
-        jnp.concatenate(all_valsT, 0), jnp.concatenate(all_rel, 0),
+        valsT_cat, jnp.concatenate(all_rel, 0),
         jnp.concatenate(all_origins, 0), H, W, cp, winx, K,
-        n_problems=len(problems))
+        n_problems=len(problems), n_vals=n_vals if shared else None)
     return [_tile_splat_fix(o, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, cp,
                             planes=True)
             for o, (vals_t, tx_t, ty_t, ok_t) in zip(outs, per)]

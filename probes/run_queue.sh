@@ -30,6 +30,13 @@ L "A6. zprobe (in-kernel z reduction; composes with group/pipe)"
 timeout 1200 python -u probes/zprobe.py
 FLDRX_GWIN=group timeout 1200 python -u probes/zprobe.py
 
+L "B4. bench t_fuse (cross-t fused launches, NOW with kernel vals sharing:
+   2 vals arrays for 2T problems — r3 measured 4.23 vs 4.28 WITHOUT sharing;
+   the ~450 MB less pinning may flip it)"
+FLDRX_BENCH_T_FUSE=1 timeout 2400 python bench.py
+L "B5. bench t_fuse + zkernel"
+FLDRX_BENCH_T_FUSE=1 FLDRX_ZKERNEL=1 timeout 2400 python bench.py
+
 L "C1. group K=16"
 FLDRX_GWIN=group FLDRX_GK=16 timeout 1200 python -u probes/gwprobe.py
 L "C2. winy 256 (DMA-row theory)"

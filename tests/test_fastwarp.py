@@ -127,6 +127,28 @@ def test_splat_multi_matches_single(data):
                                    atol=1e-5)
 
 
+def test_splat_multi_shared_vals(data):
+    """Cross-t vals sharing: when problems cycle through repeated vals
+    OBJECTS (the chunk pattern vals0,vals1,vals0,vals1,…) the kernel's
+    index_map routes p → p % n_vals — results must equal per-problem
+    splat_at, including spill fixups."""
+    x, small, big = data
+    H, W = 128, 192
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    v0 = x[0]
+    v1 = jnp.flip(x[0], axis=1) * 0.5
+    probs = []
+    for fl in (small, big, 0.5 * small):   # 3 "t-values" × 2 vals
+        for v in (v0, v1):
+            probs.append((v, xs + fl[0, ..., 0], ys + fl[0, ..., 1]))
+    outs = fastwarp.splat_multi(probs)
+    for (v, tx, ty), o in zip(probs, outs):
+        ref = fastwarp.splat_at(v, tx, ty, planes_out=True)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=1e-5)
+
+
 def test_gather_multi_matches_single(data):
     """The fused multi-problem gather (stacked source images, offset
     origins) must equal per-problem gather_at."""
