@@ -22,7 +22,41 @@ import numpy as np
 BASELINE_FPS = 30.0
 
 
+def _wait_for_device(budget_s: float) -> bool:
+    """The axon relay occasionally flaps (a 5h outage ate round 3's probe
+    window); a hung backend init can't be timed out in-process, so liveness
+    is probed in a SUBPROCESS (tiny matmul) with retries until the budget
+    runs out. Returns True once the chip answers; False → the caller exits
+    nonzero fast instead of hanging the driver."""
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp;"
+             "x = jnp.ones((128, 128));"
+             "print(float(jnp.sum(x @ x)))")
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=180,
+                               capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"bench: device probe attempt {attempt} failed; retrying "
+              f"({int(deadline - time.time())}s left)", file=sys.stderr,
+              flush=True)
+        time.sleep(min(60, max(1, deadline - time.time())))
+
+
 def main():
+    if os.environ.get("JAX_PLATFORMS", "axon") not in ("cpu",):
+        budget = float(os.environ.get("FLDRX_BENCH_WAIT", "900"))
+        if not _wait_for_device(budget):
+            print("bench: no live device within budget", file=sys.stderr)
+            sys.exit(3)
     import jax
     import jax.numpy as jnp
 
