@@ -72,9 +72,13 @@ def main():
     unet_dtype = os.environ.get("FLDRX_BENCH_UNET_DTYPE", "")
     tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "3"))
     tfuse = bool(int(os.environ.get("FLDRX_BENCH_T_FUSE", "0")))
+    # planes_out: skip the device interleave kernel; eval consumers unpack
+    # on host worker threads (bit-equal layout change — see config.py)
+    planes = bool(int(os.environ.get("FLDRX_BENCH_PLANES_OUT", "0")))
     cfg = papermodel_test5().replace(compute_dtype=dtype, t_chunk=tchunk,
                                      flow_dtype=flow_dtype,
-                                     unet_dtype=unet_dtype, t_fuse=tfuse)
+                                     unet_dtype=unet_dtype, t_fuse=tfuse,
+                                     planes_out=planes)
     try:
         interp, cfg, _ = prepare_model(DEFAULT_NPZ, cfg)
     except FileNotFoundError:

@@ -86,6 +86,11 @@ class FLDRConfig:
     # 4.28 per-t-loop — the 2T-problem launches pin ~1.8 GB and cost more
     # in scheduling freedom than they save in prologues. Off by default.
     t_fuse: bool = False
+    # return packed-path synthesis in u-plane form and unpack on the HOST
+    # (the evaluator fetches frames anyway; a numpy memcpy on the metric
+    # worker threads replaces ~12 ms/t of device interleave DMAs — pure
+    # layout, bit-equal values). Off until TPU-measured (queue B6).
+    planes_out: bool = False
     padding: str = "reflect"          # pcanet → reflect (main.py:273)
     dataset: str = "X4K1000FPS"
     testsets: Tuple[str, ...] = ("Inter4K-S", "Inter4K-L", "X4K1000FPS", "Xiph-4K")

@@ -109,6 +109,11 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     metric_q: List = []
 
     def metrics_job(frames, t, scene, pred):
+        if pred.shape[-1] != 3:       # cfg.planes_out: u-plane form — the
+            # unpack (one memcpy) rides this worker thread instead of
+            # costing ~12 ms/t of device interleave DMAs
+            from ..ops.repack import planes_to_plain_np
+            pred = planes_to_plain_np(pred)
         target = frames[2]
         out_img = np.around(metrics.denorm255(pred))
         p = s = rec = None

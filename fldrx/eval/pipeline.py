@@ -139,8 +139,8 @@ class Interpolator:
     # (amortizes dispatch overhead and lets XLA overlap the per-t work;
     # flow/extras are broadcast, so only synthesis memory scales with T)
 
-    def _compiled_synth_multi(self, shape, T):
-        key = ("synthT", T) + tuple(shape)
+    def _compiled_synth_multi(self, shape, T, planes=False):
+        key = ("synthT", T, planes) + tuple(shape)
         if key not in self._cache:
             cfg = self.cfg
 
@@ -148,18 +148,26 @@ class Interpolator:
                 return forward_synthesis_multi(
                     params, cfg, flow, padded_frames,
                     [ts[k] for k in range(T)], precomputed=extras,
-                    compute_dtype=self._compute_dtype)
+                    compute_dtype=self._compute_dtype, planes_out=planes)
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 
     def synthesize_multi_at(self, flow, padded_frames, t_values, orig_hw,
                             extras=None):
-        """t_values: sequence of scalars → [T, B, H, W, 3] (cropped)."""
+        """t_values: sequence of scalars → [T, B, H, W, 3] (cropped) — or,
+        with cfg.planes_out on the packed path, the u-plane form
+        [T, B, 4, H/4, W·3] (shape[-1] != 3; consumers unpack host-side
+        via ops.repack.planes_to_plain_np)."""
         B = flow.shape[0]
+        planes = (getattr(self.cfg, "planes_out", False)
+                  and orig_hw[0] % 4 == 0)
         ts = jnp.asarray(np.asarray(t_values, np.float32).reshape(-1, 1)
                          * np.ones((1, B), np.float32))[..., None]
-        out = self._compiled_synth_multi(padded_frames.shape, len(t_values))(
+        out = self._compiled_synth_multi(padded_frames.shape, len(t_values),
+                                         planes)(
             self.params, flow, padded_frames, ts, extras)
+        if out.shape[-1] != 3:                 # u-plane form
+            return out[:, :, :, :orig_hw[0] // 4, :orig_hw[1] * 3]
         return out[:, :, :orig_hw[0], :orig_hw[1]]
 
     def interpolate_multi_np(self, frames: np.ndarray, t_values) -> np.ndarray:
@@ -174,5 +182,9 @@ class Interpolator:
             out = self.synthesize_multi_at(flow, padded,
                                            t_values[k:k + chunk],
                                            (H, W), extras)
-            outs.append(np.asarray(out))
+            a = np.asarray(out)
+            if a.shape[-1] != 3:               # u-plane form → host unpack
+                from ..ops.repack import planes_to_plain_np
+                a = planes_to_plain_np(a)
+            outs.append(a)
         return np.concatenate(outs, 0)

@@ -546,18 +546,20 @@ def _upsample_to_planes(fb: jnp.ndarray, out_h: int, out_w: int):
 
 def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
                       t: jnp.ndarray, precomputed=None,
-                      compute_dtype=jnp.float32):
+                      compute_dtype=jnp.float32, planes_out=False):
     """Level-0 packed (u-plane) synthesis for ONE t — the T=1 chunk of
     synthesize_packed_multi (same launches, identical numerics); see that
     function for the design notes."""
     return synthesize_packed_multi(p, flow_l, images, [t],
                                    precomputed=precomputed,
-                                   compute_dtype=compute_dtype)[0]
+                                   compute_dtype=compute_dtype,
+                                   planes_out=planes_out)[0]
 
 
 def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
                             images: jnp.ndarray, ts,
-                            precomputed=None, compute_dtype=jnp.float32):
+                            precomputed=None, compute_dtype=jnp.float32,
+                            planes_out=False):
     """Level-0 synthesis for a CHUNK of t-values with every full-res tensor
     in the u-plane space-to-depth form [B, 4, H/4, W·C] (inference fast
     path) and the warp work of ALL t-values fused into one launch per stage.
@@ -585,6 +587,12 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
 
     ts: sequence of [B, 1] t arrays. Returns a list of per-t tuples
     (out [B, H, W, 3], flow_refine, None, None).
+
+    planes_out=True skips the final interleave kernel and returns out in
+    u-plane form [B, 4, H/4, W·3] (a pure layout permutation — bit-equal
+    values): eval consumers fetch frames to the host anyway, where the
+    unpack is one numpy memcpy on worker threads (ops/repack.py
+    planes_to_plain_np) instead of ~12 ms/t of device row DMAs.
 
     Inference-only: no custom VJP is attached (training uses `synthesize`).
     Reference: fLDRnet.py:400-524 (the reference re-runs this whole
@@ -802,12 +810,15 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
             out_planes.append(out_u.reshape(B, Hp4, W * 3))
 
         outP = jnp.stack(out_planes, axis=1)              # [B,4,Hp4,W·3]
-        out_full = jnp.stack(
-            [interleave_planes(outP[b]) for b in range(B)], 0)
         flow_refine = jnp.concatenate(
             [tb * flow_01, (1.0 - tb) * flow_10], -1)
-        results.append((out_full.reshape(B, H, W, 3), flow_refine,
-                        None, None))
+        if planes_out:
+            results.append((outP, flow_refine, None, None))
+        else:
+            out_full = jnp.stack(
+                [interleave_planes(outP[b]) for b in range(B)], 0)
+            results.append((out_full.reshape(B, H, W, 3), flow_refine,
+                            None, None))
     return results
 
 
@@ -917,9 +928,14 @@ def forward_synthesis(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
                       images: jnp.ndarray, t: jnp.ndarray,
                       orig_hw: Optional[Tuple[int, int]] = None,
                       precomputed=None,
-                      compute_dtype=jnp.float32) -> jnp.ndarray:
+                      compute_dtype=jnp.float32,
+                      planes_out=False) -> jnp.ndarray:
     """Level-0 synthesis for one t given precomputed flow (and optionally the
-    t-independent extras from `flow_extras`)."""
+    t-independent extras from `flow_extras`).
+
+    planes_out=True (packed path only — silently plain otherwise, callers
+    detect by shape[-1] != 3) returns the u-plane form [B, 4, H/4, W·3];
+    see synthesize_packed_multi."""
     fast = getattr(cfg, "fast_warp", False)
     # compute_dtype only affects the refine UNet inside synthesis — apply
     # the per-stage override here (PARITY.md mixed-precision policy)
@@ -928,32 +944,40 @@ def forward_synthesis(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
         if fast and _packed_enabled(cfg) and can_use_packed(flow, images):
             out, _, _, _ = synthesize_packed(
                 params["vfinet"], flow, images, t, precomputed=precomputed,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, planes_out=planes_out)
         else:
+            planes_out = False
             out, _, _, _ = synthesize(
                 params["vfinet"], flow.astype(jnp.float32),
                 images.astype(jnp.float32), t, fast=fast,
                 precomputed=precomputed[:4] if precomputed else None,
                 compute_dtype=compute_dtype)
     if orig_hw is not None:
-        out = out[:, :orig_hw[0], :orig_hw[1]]
+        if planes_out:
+            assert orig_hw[0] % 4 == 0
+            out = out[:, :, :orig_hw[0] // 4, :orig_hw[1] * 3]
+        else:
+            out = out[:, :orig_hw[0], :orig_hw[1]]
     return out
 
 
 def forward_synthesis_multi(params: Params, cfg: FLDRConfig,
                             flow: jnp.ndarray, images: jnp.ndarray, ts,
                             precomputed=None,
-                            compute_dtype=jnp.float32) -> jnp.ndarray:
+                            compute_dtype=jnp.float32,
+                            planes_out=False) -> jnp.ndarray:
     """Level-0 synthesis for a chunk of t-values: cross-t fused warp
     launches via synthesize_packed_multi when the packed fast path is
     enabled, else a per-t loop (XLA still CSEs shared prologues).
-    ts: sequence of [B, 1] t arrays. Returns [T, B, H, W, 3].
+    ts: sequence of [B, 1] t arrays. Returns [T, B, H, W, 3] — or, with
+    planes_out=True on the packed path, [T, B, 4, H/4, W·3] (callers
+    detect the u-plane form by shape[-1] != 3 and unpack host-side).
 
     cfg.t_fuse gates the cross-t LAUNCH fusion (measured at 4K/chunk-3:
     fused 4.23 fps vs per-t-loop 4.28 — the 2T-problem launches pin
     ~1.8 GB of splat vals/outputs and the lost scheduling freedom beats
     the ~7 ms/launch prologue saving; default off, kept for geometries
-    where the balance flips)."""
+    where the balance flips; r3 adds kernel vals sharing — re-measure)."""
     fast = getattr(cfg, "fast_warp", False)
     unet_dtype = _stage_dtype(cfg, "unet_dtype", compute_dtype)
     if (fast and getattr(cfg, "t_fuse", False) and _packed_enabled(cfg)
@@ -961,12 +985,14 @@ def forward_synthesis_multi(params: Params, cfg: FLDRConfig,
         with jax.named_scope("synthesis_multi"):
             outs = synthesize_packed_multi(
                 params["vfinet"], flow, images, list(ts),
-                precomputed=precomputed, compute_dtype=unet_dtype)
+                precomputed=precomputed, compute_dtype=unet_dtype,
+                planes_out=planes_out)
         return jnp.stack([o[0] for o in outs], 0)
     return jnp.stack(
         [forward_synthesis(params, cfg, flow, images, t,
                            precomputed=precomputed,
-                           compute_dtype=compute_dtype) for t in ts], 0)
+                           compute_dtype=compute_dtype,
+                           planes_out=planes_out) for t in ts], 0)
 
 
 def forward_test(params: Params, cfg: FLDRConfig,

@@ -163,6 +163,22 @@ def interleave_planes(planes: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(H, WC)
 
 
+def planes_to_plain_np(a: "np.ndarray") -> "np.ndarray":
+    """HOST-side u-plane unpack: [..., 4, H/4, W·3] → [..., H, W, 3].
+
+    cfg.planes_out keeps the packed synthesis output in u-plane form on
+    device (skipping the ~12 ms/t interleave_planes DMA kernel) because
+    eval consumers fetch frames to the host anyway — this numpy reshape
+    (one memcpy, runs on the evaluator's metric worker threads) replaces
+    the device kernel bit-exactly."""
+    import numpy as np
+    lead, (_, hp4, wc) = a.shape[:-3], a.shape[-3:]
+    W = wc // 3
+    a = a.reshape(*lead, 4, hp4, W, 3)
+    a = np.moveaxis(a, -4, -3)                 # [..., hp4, 4, W, 3]
+    return np.ascontiguousarray(a).reshape(*lead, hp4 * 4, W, 3)
+
+
 def _deinterleave_kernel(H, WC, Hp4, img_ref, out_ref, sems):
     g = pl.program_id(0)
     base = g * _BLK

@@ -37,6 +37,10 @@ FLDRX_BENCH_T_FUSE=1 timeout 2400 python bench.py
 L "B5. bench t_fuse + zkernel"
 FLDRX_BENCH_T_FUSE=1 FLDRX_ZKERNEL=1 timeout 2400 python bench.py
 
+L "B6. bench planes_out (host-side final unpack; ~12 ms/t device saving,
+   bit-equal layout — adopt as evaluator/bench default if it wins)"
+FLDRX_BENCH_PLANES_OUT=1 timeout 2400 python bench.py
+
 L "C1. group K=16"
 FLDRX_GWIN=group FLDRX_GK=16 timeout 1200 python -u probes/gwprobe.py
 L "C2. winy 256 (DMA-row theory)"

@@ -68,6 +68,19 @@ def test_identical_frames_roundtrip():
     assert np.abs(out - base).mean() < 0.05
 
 
+def test_planes_out_knob_small_shapes_fall_back():
+    """cfg.planes_out on shapes the packed path rejects must degrade to the
+    plain output transparently (consumers detect the form by shape)."""
+    cfg = papermodel().replace(S_tst=1, planes_out=True)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    interp = Interpolator(params, cfg)
+    f = (np.random.RandomState(0).rand(1, 2, 64, 64, 3).astype(np.float32)
+         * 2 - 1)
+    out = interp.interpolate_multi_np(f, [0.25, 0.5])
+    assert out.shape == (2, 1, 64, 64, 3)
+    assert np.isfinite(out).all()
+
+
 def test_bfloat16_path_runs():
     interp, _ = _interp(S=1, compute="bfloat16")
     f = np.random.RandomState(0).rand(1, 2, 32, 32, 3).astype(np.float32)

@@ -178,6 +178,34 @@ def test_synthesize_packed_multi_matches_single():
         np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_m))
 
 
+def test_synthesize_packed_planes_out_is_pure_layout():
+    """planes_out=True returns the u-plane form whose host unpack
+    (ops.repack.planes_to_plain_np) is bit-equal to the interleaved
+    device output."""
+    import jax
+    from fldrx.model.fldrnet import (flow_extras, init_params,
+                                     synthesize_packed_multi)
+    from fldrx.ops.repack import planes_to_plain_np
+
+    cfg = papermodel().replace(fast_warp=True, packed_synth=True)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(9)
+    B, H, W = 1, 256, 320
+    images = jnp.asarray((rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32))
+    flow_l = jnp.asarray((rng.rand(B, H // 8, W // 8, 4) * 6 - 3)
+                         .astype(np.float32))
+    extras = flow_extras(params, cfg, flow_l, images)
+    ts = [jnp.full((B, 1), tv, jnp.float32) for tv in (0.25, 0.875)]
+    plain = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
+                                    precomputed=extras)
+    planes = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
+                                     precomputed=extras, planes_out=True)
+    for (out_p, _, _, _), (out_q, _, _, _) in zip(plain, planes):
+        assert out_q.shape == (B, 4, H // 4, W * 3)
+        np.testing.assert_array_equal(
+            np.asarray(out_p), planes_to_plain_np(np.asarray(out_q)))
+
+
 def test_refine_unet_s2d_matches_plain():
     """Space-to-depth UNet is a weight-exact repacking of refine_unet:
     outputs match to float-roundoff at any %4 shape."""
