@@ -28,6 +28,15 @@ def natural_frames(H, W, shift=18):
     return np.stack([f0, f1], 0)[None].astype(np.float32) * 0.6
 
 
+def _run_levels(F, params, cfg, feats, S):
+    fast = getattr(cfg, "fast_warp", False)
+    vp = params["vfinet"]
+    flow = None
+    for level in range(S, 0, -1):
+        flow = F.level_flow(vp, feats[level], flow, fast=fast, fused=False)
+    return F.level_flow(vp, feats[0], flow, fast=fast, fused=False)
+
+
 def timed(fn, *args, iters=4):
     r = fn(*args)
     jax.tree.map(lambda a: float(jnp.sum(a.astype(jnp.float32))), r)
@@ -51,6 +60,90 @@ def main():
     frames = jnp.asarray(natural_frames(2160, 4096))
     flow, padded, extras = interp.precompute_flow(frames)
     print(f"flow precompute:    {timed(interp._compiled_flow(frames.shape), params, frames):7.1f} ms", flush=True)
+
+    # ---- flow-precompute ablations (same in-context methodology): each
+    # stage's inputs are replaced by trace-time zeros/cheap slices so the
+    # stage drops out of the REAL program; Δ vs full = its in-context cost
+    def flowpre(params, frames, skip=()):
+        import fldrx.model.fldrnet as F
+        from fldrx.eval.pipeline import build_pyramid
+        from fldrx.ops.pad import pad_amount
+        S = cfg.S_tst
+        ph = pad_amount(frames.shape[2], cfg.div_pad)
+        pw = pad_amount(frames.shape[3], cfg.div_pad)
+        fr = frames
+        if ph or pw:
+            fr = jnp.pad(fr, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
+                         mode="reflect")
+        if "pyramid" in skip:
+            pyr = [fr[:, :, ::2 ** i, ::2 ** i] for i in range(S + 1)]
+        else:
+            pyr = build_pyramid(fr, cfg, S + 1)
+        fd = F._stage_dtype(cfg, "flow_dtype", cd)
+
+        def zeros_like_shapes(tree):
+            return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+        if "features" in skip:
+            feats = zeros_like_shapes(jax.eval_shape(
+                lambda py: F.extract_features(params, cfg, py, S + 1, fd),
+                pyr))
+        else:
+            feats = F.extract_features(params, cfg, pyr, S + 1, fd)
+        if "levels" in skip:
+            fl = zeros_like_shapes(jax.eval_shape(
+                lambda fe: _run_levels(F, params, cfg, fe, S), feats))
+        else:
+            fl = _run_levels(F, params, cfg, feats, S)
+        # flow_extras body with z / plane-pack knobs
+        images = fr.astype(jnp.float32)
+        flow_l = fl.astype(jnp.float32)
+        H, W = images.shape[2], images.shape[3]
+        upscale = H // flow_l.shape[1]
+        from fldrx.ops.resize import resize_2d
+        flow_10 = upscale * resize_2d(flow_l[..., 0:2], (H, W), "bilinear")
+        flow_01 = upscale * resize_2d(flow_l[..., 2:4], (H, W), "bilinear")
+        from fldrx.ops import fastwarp as fw
+        ztiled = fw.GTILE == fw.TILE
+        if "z" in skip:
+            z0, z1 = zeros_like_shapes(jax.eval_shape(
+                lambda a, b: F.z_metrics(params["vfinet"], images[:, 0],
+                                         images[:, 1], a, b, True,
+                                         fused=True, tiled_out=ztiled),
+                flow_10, flow_01))
+        else:
+            z0, z1 = F.z_metrics(params["vfinet"], images[:, 0],
+                                 images[:, 1], flow_10, flow_01, True,
+                                 fused=True, tiled_out=ztiled)
+        if "pack" in skip:
+            planes = zeros_like_shapes(jax.eval_shape(
+                lambda a: F._planes_batch(a), images[:, 0]))
+            x0P = x1P = planes
+            f10P = f01P = zeros_like_shapes(jax.eval_shape(
+                lambda a: F._planes_batch(a), flow_10))
+        else:
+            x0P, x1P = F._planes_batch(images[:, 0]), F._planes_batch(
+                images[:, 1])
+            f10P, f01P = F._planes_batch(flow_10), F._planes_batch(flow_01)
+        return (flow_10, flow_01, z0, z1, x0P, x1P, f10P, f01P)
+
+    fvariants = [
+        ("f.full", ()),
+        ("f.-pyramid", ("pyramid",)),
+        ("f.-features", ("features",)),
+        ("f.-levels", ("levels",)),
+        ("f.-z", ("z",)),
+        ("f.-pack", ("pack",)),
+        ("f.bare", ("pyramid", "features", "levels", "z", "pack")),
+    ]
+    fbase = None
+    for name, skip in fvariants:
+        f = jax.jit(partial(flowpre, skip=skip))
+        ms = timed(f, params, frames)
+        delta = "" if fbase is None else f"  (Δ {fbase - ms:+6.1f})"
+        if fbase is None:
+            fbase = ms
+        print(f"{name:12s}: {ms:7.1f} ms{delta}", flush=True)
 
     t = jnp.full((1, 1), 0.375, jnp.float32)
 
