@@ -28,21 +28,37 @@ def _wait_for_device(budget_s: float) -> bool:
     is probed in a SUBPROCESS (tiny matmul) with retries until the budget
     runs out. Returns True once the chip answers; False → the caller exits
     nonzero fast instead of hanging the driver."""
+    import signal
     import subprocess
+    # the child pins the intended platform and REFUSES a CPU fallback (a
+    # raising-but-not-hung relay would otherwise fall back to CPU, return 0
+    # and green-light a bench against a dead backend)
     probe = ("import jax, jax.numpy as jnp;"
+             "assert jax.default_backend() != 'cpu';"
              "x = jnp.ones((128, 128));"
              "print(float(jnp.sum(x @ x)))")
+    env = dict(os.environ,
+               JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", "axon"))
     deadline = time.time() + budget_s
     attempt = 0
     while True:
         attempt += 1
+        # Popen + killpg (no pipes): a hung backend init can leave helper
+        # processes holding inherited fds — subprocess.run(capture_output)
+        # would block in communicate() after the kill, forever
+        proc = subprocess.Popen([sys.executable, "-c", probe], env=env,
+                                stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL,
+                                start_new_session=True)
         try:
-            r = subprocess.run([sys.executable, "-c", probe], timeout=180,
-                               capture_output=True)
-            if r.returncode == 0:
+            if proc.wait(timeout=180) == 0:
                 return True
         except subprocess.TimeoutExpired:
-            pass
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.wait()
         if time.time() >= deadline:
             return False
         print(f"bench: device probe attempt {attempt} failed; retrying "

@@ -26,6 +26,7 @@ splitting the last axis at 48.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -863,11 +864,12 @@ def forward_flow(params: Params, cfg: FLDRConfig,
     S = cfg.S_tst
     fast = getattr(cfg, "fast_warp", False)
     compute_dtype = _stage_dtype(cfg, "flow_dtype", compute_dtype)
-    # NOTE: softsplat_fused_many for the feature warps measured SLOWER in
-    # context (flow precompute 156→279 ms: the per-chunk plane interleaves
-    # serialize) — keep the chunked per-level splats until the fused path
-    # emits plain layout without the interleave round-trip
-    fused = False
+    # softsplat_fused_many for the feature warps measured SLOWER in its
+    # u-plane form (flow 156→279 ms: the per-chunk plane interleaves
+    # serialize). r3: the fused path now emits PLAIN rows straight from the
+    # strip kernel (splat_multi planes=False) — the interleaves are gone;
+    # gated until TPU-measured (queue A7)
+    fused = fast and bool(int(os.environ.get("FLDRX_FLOW_FUSED", "0")))
     with jax.named_scope("pca_features"):
         feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
     vp = params["vfinet"]

@@ -596,19 +596,33 @@ GATHER_SPILL_TIERS = (max(8, int(32 * _GS)), max(128, int(512 * _GS)))
                                  # motion-boundary spill counts)
 
 
+def _tiered_fix(tile_bad, tiers, fix_with_cap, full, state):
+    """Shared spill-fixup tier ladder: no bad tiles → no-op; otherwise the
+    smallest tier whose capacity covers the bad count runs its exact refix;
+    beyond the last tier the fully exact path takes over. The static cost
+    is proportional to the CHOSEN tier, not the worst case — a handful of
+    bad tiles pays the small tier, never the full recompute."""
+    n_bad = jnp.sum(tile_bad)
+
+    def chain(i):
+        if i == len(tiers):
+            return full
+        return lambda s: jax.lax.cond(
+            n_bad <= tiers[i], fix_with_cap(tiers[i]), chain(i + 1), s)
+
+    return jax.lax.cond(n_bad == 0, lambda s: s, chain(0), state)
+
+
 def _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C):
     """Exact fixup at TILE granularity: tiles containing any spilled pixel
     are recomputed with the exact per-element gather and overwritten whole
     (the exact gather agrees with the fast path on in-window pixels, so
     overwriting is safe). Tile-level compaction keeps the machinery cheap
-    (nonzero over ~9k tiles, not ~9.4M pixels), and tiered capacities keep
-    the STATIC cost proportional to the actual spill count — a handful of
-    bad tiles pays the 32-tile tier, not the 512-tile one.
+    (nonzero over ~9k tiles, not ~9.4M pixels); tier ladder: _tiered_fix.
     """
     from .warp import grid_sample_bilinear
 
     tile_bad = ~jnp.all(ok_t, axis=1)              # [ntiles]
-    n_bad = jnp.sum(tile_bad)
 
     def fix_with_cap(cap):
         def fix(o):
@@ -624,14 +638,8 @@ def _tile_gather_fix(img, sx_t, sy_t, out_t, ok_t, n_tiles, C):
         return grid_sample_bilinear(img[None], sx_t.reshape(1, n_tiles, -1),
                                     sy_t.reshape(1, n_tiles, -1))[0]
 
-    t1, t2 = GATHER_SPILL_TIERS
-    return jax.lax.cond(
-        n_bad == 0, lambda o: o,
-        lambda o: jax.lax.cond(
-            n_bad <= t1, fix_with_cap(t1),
-            lambda oo: jax.lax.cond(n_bad <= t2, fix_with_cap(t2), full, oo),
-            o),
-        out_t)
+    return _tiered_fix(tile_bad, GATHER_SPILL_TIERS, fix_with_cap, full,
+                       out_t)
 
 
 def ones_mask_sep(sx, sy, H, W):
@@ -815,13 +823,12 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False,
 def _tile_gather_fix_z(img, self_rows, mask_t, sx_t, sy_t, z_t, ok_t,
                        n_tiles):
     """z-space exact fixup: tiles containing spilled pixels get their z rows
-    recomputed from the exact per-element gather (same tier structure and
-    capacities as _tile_gather_fix; the chain exact-gather → mask → diff →
-    abs → sum matches the in-kernel epilogue's op order)."""
+    recomputed from the exact per-element gather (tier ladder: _tiered_fix,
+    same capacities as _tile_gather_fix; the chain exact-gather → mask →
+    diff → abs → sum matches the in-kernel epilogue's op order)."""
     from .warp import grid_sample_bilinear
 
     tile_bad = ~jnp.all(ok_t, axis=1)              # [ntiles]
-    n_bad = jnp.sum(tile_bad)
 
     def z_of(s_rows, m_rows, vals):
         # s_rows [T, C, N], m_rows [T, N], vals [T, N, C] (exact gather)
@@ -843,14 +850,8 @@ def _tile_gather_fix_z(img, self_rows, mask_t, sx_t, sy_t, z_t, ok_t,
                                     sy_t.reshape(1, n_tiles, -1))[0]
         return z_of(self_rows, mask_t, vals)
 
-    t1, t2 = GATHER_SPILL_TIERS
-    return jax.lax.cond(
-        n_bad == 0, lambda z: z,
-        lambda z: jax.lax.cond(
-            n_bad <= t1, fix_with_cap(t1),
-            lambda zz: jax.lax.cond(n_bad <= t2, fix_with_cap(t2), full, zz),
-            z),
-        z_t)
+    return _tiered_fix(tile_bad, GATHER_SPILL_TIERS, fix_with_cap, full,
+                       z_t)
 
 
 def gather_z_multi(imgs, problems, use_kernel=None):
@@ -876,8 +877,13 @@ def gather_z_multi(imgs, problems, use_kernel=None):
         use_kernel = Z_KERNEL
     H, W, C = imgs[0].shape
     n_tiles = (H // GTILE) * (W // GTILE)
-    assert not (H % GTILE or W % GTILE), "z chain requires GTILE-divisible"
-    if (not use_kernel or H < GTILE or W < GTILE
+    # tiled-domain API: the [ntiles, N] return form only exists for
+    # GTILE-divisible shapes (callers reach this via the packed path, which
+    # can_use_packed already restricts to %32 geometry)
+    if H % GTILE or W % GTILE:
+        raise ValueError(f"gather_z_multi needs GTILE({GTILE})-divisible "
+                         f"shapes, got {H}x{W}")
+    if (not use_kernel
             or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
             or (jax.default_backend() != "tpu" and not _INTERPRET)):
         outs = gather_multi(imgs,
@@ -979,8 +985,8 @@ STRIPH = OYR_S + TILE + WINY_S   # strip rows in VMEM (224); while row r is
                                  # [32r−OYR_S, 32r+TILE+WINY_S)
 
 
-def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
-                  out_hbm, strip_ref, sem):
+def _splat_kernel(C, winx, K, tx, ty, n_problems, origins_ref, coords_ref,
+                  vals_ref, out_hbm, strip_ref, sem):
     """Strip-accumulator splat: NO read-modify-write DMA at all.
 
     Tiles stream row-major; a [STRIPH, Wp·C] f32 strip in VMEM covers canvas
@@ -994,31 +1000,70 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
     (forward-ordered chunked copy — reads stay ahead of writes), and the
     fresh tail zeroes. The old per-window RMW serialized two strided DMAs
     per tile; this writes each output byte exactly once.
+
+    n_problems > 1: the grid sweeps N stacked problems continuously (one
+    [seg, WpC] output segment each); at a problem boundary the whole strip
+    drains into the previous problem's tail and resets — same structure as
+    _splat_kernel_up, PLAIN row layout (the flow recurrence's feature warps
+    need plain outputs for the convs that follow; the u-plane form would
+    round-trip through interleaves, measured slower in context).
+    n_problems == 1 keeps the original two-branch flush codegen (predicated
+    static branches cost ~2 ms/launch each, measured).
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
     spr = tx // K                      # grid steps per tile-row
     N = coords_ref.shape[2]
     wC = winx * C
+    seg = ty * TILE + STRIPH - TILE    # output rows per problem
 
     @pl.when(i == 0)
     def _():
         strip_ref[...] = jnp.zeros_like(strip_ref)
 
-    @pl.when((i % spr == 0) & (i > 0))
-    def _():
-        r = i // spr
-        # rows [32(r-1)-TILE, 32r-TILE) are final → buffer row 32(r-1)
-        dst = pl.multiple_of((r - 1) * TILE, 8)
-        flush = pltpu.make_async_copy(
-            strip_ref.at[0:TILE], out_hbm.at[pl.ds(dst, TILE)], sem)
-        flush.start()
-        flush.wait()
+    def shift_strip():
         for c in range((STRIPH - TILE) // TILE):
             strip_ref[c * TILE:(c + 1) * TILE] = (
                 strip_ref[(c + 1) * TILE:(c + 2) * TILE])
         strip_ref[STRIPH - TILE:STRIPH] = jnp.zeros(
             (TILE, strip_ref.shape[1]), jnp.float32)
+
+    if n_problems == 1:
+        @pl.when((i % spr == 0) & (i > 0))
+        def _():
+            r = i // spr
+            # rows [32(r-1)-TILE, 32r-TILE) are final → buffer row 32(r-1)
+            dst = pl.multiple_of((r - 1) * TILE, 8)
+            flush = pltpu.make_async_copy(
+                strip_ref.at[0:TILE], out_hbm.at[pl.ds(dst, TILE)], sem)
+            flush.start()
+            flush.wait()
+            shift_strip()
+    else:
+        @pl.when((i % spr == 0) & (i > 0))
+        def _():
+            r = i // spr
+            lr = r % ty
+            p = r // ty
+
+            @pl.when(lr == 0)
+            def _():
+                # problem boundary: drain the previous problem's strip
+                dst = pl.multiple_of((p - 1) * seg + (ty - 1) * TILE, 8)
+                flush = pltpu.make_async_copy(
+                    strip_ref, out_hbm.at[pl.ds(dst, STRIPH)], sem)
+                flush.start()
+                flush.wait()
+                strip_ref[...] = jnp.zeros_like(strip_ref)
+
+            @pl.when(lr != 0)
+            def _():
+                dst = pl.multiple_of(p * seg + (lr - 1) * TILE, 8)
+                flush = pltpu.make_async_copy(
+                    strip_ref.at[0:TILE], out_hbm.at[pl.ds(dst, TILE)], sem)
+                flush.start()
+                flush.wait()
+                shift_strip()
 
     ivT = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, N), 0)
     ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
@@ -1066,27 +1111,39 @@ def _splat_kernel(C, winx, K, tx, ty, origins_ref, coords_ref, vals_ref,
 
     @pl.when(i == n - 1)
     def _():
-        dst = pl.multiple_of((ty - 1) * TILE, 8)
+        dst = pl.multiple_of((n_problems - 1) * seg + (ty - 1) * TILE, 8)
         flush = pltpu.make_async_copy(
             strip_ref, out_hbm.at[pl.ds(dst, STRIPH)], sem)
         flush.start()
         flush.wait()
 
 
-def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K):
+def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K,
+                n_problems=1, n_vals=None):
     """Output buffer rows map canvas rows [−OYR_S, H+STRIPH−TILE−OYR_S) →
-    [0, H+STRIPH−TILE); image rows = buffer [OYR_S, OYR_S+H)."""
+    [0, H+STRIPH−TILE); image rows = buffer [OYR_S, OYR_S+H). With
+    n_problems > 1 returns a LIST of per-problem [H, W, C] plain images
+    (one continuous strip sweep; see _splat_kernel); n_vals routes problem
+    p to vals set p % n_vals via the index_map (cross-problem sharing)."""
     N = TILE * TILE
     ty, tx = H // TILE, W // TILE
     n_tiles = ty * tx
     padx = winx
     WpC = (W + 2 * padx) * C
+    seg = H + STRIPH - TILE
+    spp = n_tiles // K                 # grid steps per problem
+    if n_vals:
+        vspec = pl.BlockSpec(
+            (K, C, N),
+            lambda i, o: (((i // spp) % n_vals) * spp + i % spp, 0, 0))
+    else:
+        vspec = pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles // K,),
+        grid=(n_problems * n_tiles // K,),
         in_specs=[
             pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)),     # coords
-            pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)),     # values^T
+            vspec,                                               # values^T
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
@@ -1095,17 +1152,19 @@ def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K):
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_splat_kernel, C, winx, K, tx, ty),
+        functools.partial(_splat_kernel, C, winx, K, tx, ty, n_problems),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H + STRIPH - TILE, WpC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_problems * seg, WpC), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True,
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=_INTERPRET,
     )(origins, rel_coords, valsT)
-    acc = acc.reshape(H + STRIPH - TILE, W + 2 * padx, C)
-    return acc[OYR_S:OYR_S + H, padx:padx + W]
+    acc = acc.reshape(n_problems * seg, W + 2 * padx, C)
+    outs = [acc[p * seg + OYR_S:p * seg + OYR_S + H, padx:padx + W]
+            for p in range(n_problems)]
+    return outs[0] if n_problems == 1 else outs
 
 
 def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
@@ -1287,7 +1346,6 @@ def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C,
     tiles falls back to the fully exact XLA splat. planes=True operates on
     the u-plane layout [4, H/4, W·C] (target rows remapped)."""
     tile_bad = ~jnp.all(ok_t, axis=1)
-    n_bad = jnp.sum(tile_bad)
 
     def fix_with_cap(cap):
         def fix(o):
@@ -1332,18 +1390,8 @@ def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C,
         res = splat_sum(vals[None], flow[None])[0]
         return _planes_from_plain(res) if planes else res
 
-    t1, t2, t3 = SPLAT_SPILL_TIERS
-    return jax.lax.cond(
-        n_bad == 0, lambda o: o,
-        lambda o: jax.lax.cond(
-            n_bad <= t1, fix_with_cap(t1),
-            lambda o2: jax.lax.cond(
-                n_bad <= t2, fix_with_cap(t2),
-                lambda o3: jax.lax.cond(
-                    n_bad <= t3, fix_with_cap(t3), full, o3),
-                o2),
-            o),
-        out_fast)
+    return _tiered_fix(tile_bad, SPLAT_SPILL_TIERS, fix_with_cap, full,
+                       out_fast)
 
 
 def splat_sum_fast(inp: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -1440,14 +1488,17 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
                            n_tiles, H, W, C)
 
 
-def splat_multi(problems, vals_tiled=False):
-    """N independent bilinear scatter-adds in ONE u-plane kernel launch.
+def splat_multi(problems, vals_tiled=False, planes=True):
+    """N independent bilinear scatter-adds in ONE kernel launch.
 
     problems: list of (vals [H,W,C], tx [H,W], ty [H,W]) — same shapes.
     The kernel sweeps all problems' tiles in one continuous strip pass
     (per-problem boundary drains), paying the launch prologue once.
     Returns a list of u-plane outputs [4, H/4, W·Cp] (channels padded to
-    the kernel quantum Cp — see splat_at planes_out).
+    the kernel quantum Cp — see splat_at planes_out), or with planes=False
+    PLAIN [H, W, C] outputs (the flow recurrence's feature warps feed convs
+    that need plain layout — the u-plane form cost a plane→plain interleave
+    round trip per chunk, measured slower in context: flow 156→279 ms).
 
     vals_tiled=True: each problem's vals arrive PRE-TILED [ntiles, N, C]
     in TILE row-major order (the tiled z/vals chain skips the full-res
@@ -1462,7 +1513,7 @@ def splat_multi(problems, vals_tiled=False):
                 or (jax.default_backend() != "tpu" and not _INTERPRET))
     if fallback:
         return [splat_at(_tile_unflatten(v, H, W) if vals_tiled else v,
-                         tx, ty, planes_out=True)
+                         tx, ty, planes_out=planes)
                 for v, tx, ty in problems]
     assert C <= CHUNK
     cp, winx, qx = _win_geom(C, wide=False)
@@ -1505,12 +1556,20 @@ def splat_multi(problems, vals_tiled=False):
         valsT_cat = jnp.concatenate(vlist, 0) if n_vals > 1 else vlist[0]
     else:
         valsT_cat = jnp.concatenate([vlist[vi] for vi in vids], 0)
-    outs = _splat_fast_planes(
+    launch = _splat_fast_planes if planes else _splat_fast
+    outs = launch(
         valsT_cat, jnp.concatenate(all_rel, 0),
         jnp.concatenate(all_origins, 0), H, W, cp, winx, K,
         n_problems=len(problems), n_vals=n_vals if shared else None)
-    return [_tile_splat_fix(o, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, cp,
-                            planes=True)
+    if len(problems) == 1 and not planes:
+        outs = [outs]
+    if not planes:
+        outs = [o[..., :C] for o in outs]
+        cp_fix = C
+    else:
+        cp_fix = cp
+    return [_tile_splat_fix(o, vals_t[..., :cp_fix], tx_t, ty_t, ok_t,
+                            n_tiles, H, W, cp_fix, planes=planes)
             for o, (vals_t, tx_t, ty_t, ok_t) in zip(outs, per)]
 
 
@@ -1524,10 +1583,14 @@ def softsplat_fast(img: jnp.ndarray, flow: jnp.ndarray,
 def softsplat_fused_many(pairs):
     """Softmax splatting of several (img [B,H,W,C], flow, z|None) problems —
     wide channels chunked AND all problems batched into ONE multi-problem
-    u-plane launch (the flow recurrence's 48-ch feature warps otherwise pay
-    7 chunk launches × 2 warps per level). Plain outputs; inference only
-    (no VJP). Falls back to per-problem softsplat off-TPU/odd shapes."""
-    from .repack import interleave_planes
+    PLAIN-layout launch (the flow recurrence's 48-ch feature warps otherwise
+    pay 7 chunk launches × 2 warps per level). Plain outputs; inference only
+    (no VJP). Falls back to per-problem softsplat off-TPU/odd shapes.
+
+    r3: emits plain rows straight from the strip kernel (splat_multi
+    planes=False) — the u-plane variant's per-chunk plane→plain interleaves
+    serialized (flow 156→279 ms measured), which is why forward_flow gated
+    this path off; re-measure with FLDRX_FLOW_FUSED=1."""
     from .splat import softsplat
 
     B, H, W, C = pairs[0][0].shape
@@ -1559,12 +1622,10 @@ def softsplat_fused_many(pairs):
             ty = ys[:, None] + fl[b, ..., 1].astype(jnp.float32)
             for i in range(0, Cp, CHUNK):
                 problems.append((vals[..., i:i + CHUNK], tx, ty))
-        outs = splat_multi(problems)
+        outs = splat_multi(problems, planes=False)
         ppp = Cp // CHUNK             # problems per pair
         for pi in range(len(pairs)):
-            chans = [interleave_planes(o).reshape(H, W, -1)[..., :CHUNK]
-                     for o in outs[pi * ppp:(pi + 1) * ppp]]
-            s = jnp.concatenate(chans, -1)
+            s = jnp.concatenate(outs[pi * ppp:(pi + 1) * ppp], -1)
             norm = s[..., C:C1]
             norm = jnp.where(norm == 0.0, jnp.ones_like(norm), norm)
             results[pi].append((s[..., :C] / norm - 0.5) * 2.0)

@@ -149,6 +149,63 @@ def test_splat_multi_shared_vals(data):
                                    atol=1e-5)
 
 
+def test_splat_multi_plain_matches_single(data):
+    """planes=False: the multi-problem strip sweep emits PLAIN rows (per-
+    problem segments with boundary drains) — must equal per-problem
+    splat_at, shared and distinct vals, spill-free and spilling flows."""
+    x, small, big = data
+    H, W = 128, 192
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    v0 = x[0]
+    v1 = jnp.flip(x[0], axis=1) * 0.5
+    probs = []
+    for fl in (small, big):
+        for v in (v0, v1):
+            probs.append((v, xs + fl[0, ..., 0], ys + fl[0, ..., 1]))
+    outs = fastwarp.splat_multi(probs, planes=False)
+    for (v, tx, ty), o in zip(probs, outs):
+        ref = fastwarp.splat_at(v, tx, ty)
+        assert o.shape == ref.shape == (H, W, 3)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=1e-5)
+
+
+def test_softsplat_fused_many_matches_per_problem(data):
+    """The fused flow-recurrence feature-warp path (ONE plain multi-problem
+    launch for all chunks of all problems) must match per-problem softmax
+    splatting through the same kernels."""
+    from fldrx.ops.splat import softsplat
+    x, small, big = data
+    rng = np.random.RandomState(11)
+    feat = jnp.asarray(rng.rand(1, 128, 192, 7).astype(np.float32) * 2 - 1)
+    z = jnp.asarray(rng.rand(1, 128, 192, 1).astype(np.float32) * 0.5)
+    pairs = [(feat, small, z), (0.5 * feat, big, None)]
+    outs = fastwarp.softsplat_fused_many(pairs)
+    for (img, fl, zz), o in zip(pairs, outs):
+        ref = softsplat(img, fl, zz, splat_fn=fastwarp.splat_sum_fast)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=1e-4)
+
+
+def test_level_flow_fused_matches_chunked():
+    """level_flow with the fused feature-warp launch (FLDRX_FLOW_FUSED
+    path) must match the per-chunk splat path — same kernel math, one
+    launch instead of 2×ceil(49/8)."""
+    import jax as _jax
+    from fldrx.config import papermodel
+    from fldrx.model.fldrnet import init_params, level_flow
+
+    cfg = papermodel().replace(fast_warp=True)
+    params = init_params(_jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(13)
+    feat = jnp.asarray(rng.rand(1, 128, 192, 96).astype(np.float32) - 0.5)
+    prev = jnp.asarray(rng.randn(1, 64, 96, 4).astype(np.float32) * 2)
+    a = level_flow(params["vfinet"], feat, prev, fast=True, fused=False)
+    b = level_flow(params["vfinet"], feat, prev, fast=True, fused=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_gather_multi_matches_single(data):
     """The fused multi-problem gather (stacked source images, offset
     origins) must equal per-problem gather_at."""
