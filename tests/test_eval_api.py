@@ -147,6 +147,33 @@ def test_evaluator_deferred_pipeline_matches(tmp_path, monkeypatch):
     np.testing.assert_allclose(res.ssim, ref.ssim, atol=1e-6)
 
 
+def test_evaluator_planes_out_matches(tmp_path):
+    """The ACTUAL evaluate() loop with cfg.planes_out on packed-path
+    geometry (≥768 px so can_use_packed accepts): metrics must equal the
+    plain-output run bit-for-bit (host unpack is a pure layout op)."""
+    from PIL import Image
+    from fldrx.eval.evaluator import evaluate
+    rng = np.random.RandomState(4)
+    root = tmp_path / "xtest"
+    d = root / "Type1" / "TEST01"
+    d.mkdir(parents=True)
+    base = rng.randint(0, 255, (768, 768, 3), np.uint8)
+    for i in range(33):
+        Image.fromarray(np.roll(base, i, axis=1)).save(d / f"{i:04d}.png")
+    cfg = papermodel().replace(S_tst=1, compute_dtype="float32",
+                               fast_warp=True, packed_synth=True,
+                               x_test_data_path=str(root))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ref = evaluate(Interpolator(params, cfg), cfg, "X4K1000FPS",
+                   multiple=2, verbose=False)
+    cfgp = cfg.replace(planes_out=True)
+    res = evaluate(Interpolator(params, cfgp), cfgp, "X4K1000FPS",
+                   multiple=2, verbose=False)
+    assert res.n_samples == ref.n_samples == 1
+    np.testing.assert_allclose(res.psnr, ref.psnr, atol=0)
+    np.testing.assert_allclose(res.ssim, ref.ssim, atol=0)
+
+
 def test_evaluator_multichip_t_parallel(tmp_path):
     """The ACTUAL evaluate() loop driven through the multi-chip t-parallel
     bridge on the 8-device CPU mesh (VERDICT r2 item 4): ×8 protocol's 7

@@ -203,7 +203,16 @@ def test_level_flow_fused_matches_chunked():
     prev = jnp.asarray(rng.randn(1, 64, 96, 4).astype(np.float32) * 2)
     a = level_flow(params["vfinet"], feat, prev, fast=True, fused=False)
     b = level_flow(params["vfinet"], feat, prev, fast=True, fused=True)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    c = level_flow(params["vfinet"], feat, prev, fast=False)
+    # fused and chunked differ at bf16-kernel tolerance only (the weight
+    # channel rides a cp=4/winx=128 tail chunk in the chunked path vs a
+    # cp=8/winx=112 chunk fused — different window origins round the hat
+    # weights differently; measured 9e-4 here, both ~2.3e-3 from exact)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+    err_chunked = float(jnp.max(jnp.abs(a - c)))
+    err_fused = float(jnp.max(jnp.abs(b - c)))
+    assert err_fused < max(2 * err_chunked, float(TOL)), (err_fused,
+                                                          err_chunked)
 
 
 def test_gather_multi_matches_single(data):
