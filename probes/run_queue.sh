@@ -1,11 +1,29 @@
 #!/bin/bash
 # TPU measurement queue, time-critical order (driver runs bench.py at round
 # end anyway, so probes that decide default flips come first).
+#
+# QUICK=1: bench-decision subset only (~40 min) — for a short relay window
+# near round end: B1 re-baseline, then each env knob's bench delta, so the
+# winners can be default-flipped before the driver's final bench.
 cd /root/repo
 L() { echo "=== $* — $(date)"; }
+git rev-parse --short HEAD
 
 L "sanity"
 timeout 180 python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,8)))))" || exit 1
+
+if [ -n "$QUICK" ]; then
+  L "Q1. bench defaults (re-baseline)"
+  timeout 2400 python bench.py
+  L "Q2. bench group"
+  FLDRX_GWIN=group timeout 2400 python bench.py
+  L "Q3. bench group+pipe+zkernel"
+  FLDRX_PIPE_BF16=1 FLDRX_GWIN=group FLDRX_ZKERNEL=1 timeout 2400 python bench.py
+  L "Q4. bench planes_out+flow_fused (on top of whatever won above: rerun manually)"
+  FLDRX_BENCH_PLANES_OUT=1 FLDRX_FLOW_FUSED=1 timeout 2400 python bench.py
+  L "quick queue complete"
+  exit 0
+fi
 
 L "A1. gwprobe tile (baseline)"
 FLDRX_GWIN=tile  timeout 1200 python -u probes/gwprobe.py
