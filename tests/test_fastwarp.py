@@ -356,6 +356,39 @@ def test_pipe_bf16_close_to_exact(data):
         importlib.reload(fastwarp)
 
 
+def test_gated_knob_composition(data):
+    """All r3 gated kernel knobs TOGETHER (group windows + bf16 pipelines +
+    in-kernel z + GK=16): the individual equivalence tests don't cover
+    interactions, and the bench will run them composed if they all win."""
+    x, small, big = data
+    H, W = 128, 192
+    x2 = jnp.flip(x, axis=2)
+    for k, v in (("FLDRX_GWIN", "group"), ("FLDRX_PIPE_BF16", "1"),
+                 ("FLDRX_ZKERNEL", "1"), ("FLDRX_GK", "16")):
+        os.environ[k] = v
+    importlib.reload(fastwarp)
+    try:
+        tol = 3 * TOL          # bf16 pipe adds ~2 roundings per tap
+        for fl in (small, big):
+            np.testing.assert_allclose(fastwarp.bwarp_fast(x, fl),
+                                       bwarp(x, fl), atol=tol)
+            np.testing.assert_allclose(fastwarp.splat_sum_fast(x, fl),
+                                       splat_sum(x, fl), atol=tol)
+        sx1, sy1 = fastwarp._sample_coords(small[0], H, W)
+        sx0, sy0 = fastwarp._sample_coords(-small[0], H, W)
+        probs = [(1, sx1, sy1, x[0]), (0, sx0, sy0, x2[0])]
+        zk = fastwarp.gather_z_multi([x[0], x2[0]], probs, use_kernel=True)
+        zr = fastwarp.gather_z_multi([x[0], x2[0]], probs, use_kernel=False)
+        for a, b in zip(zk, zr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3 * tol)
+    finally:
+        for k in ("FLDRX_GWIN", "FLDRX_PIPE_BF16", "FLDRX_ZKERNEL",
+                  "FLDRX_GK"):
+            os.environ.pop(k, None)
+        importlib.reload(fastwarp)
+
+
 def test_fallback_on_odd_shapes():
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.rand(1, 30, 50, 3).astype(np.float32))
