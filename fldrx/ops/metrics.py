@@ -57,10 +57,25 @@ def rgb2ycbcr(img: np.ndarray, max_val: float = 255.0) -> np.ndarray:
     return img @ T.T + O
 
 
+try:
+    from scipy.ndimage import uniform_filter as _scipy_uniform_filter
+except ImportError:                              # pragma: no cover
+    _scipy_uniform_filter = None
+
+
 def _uniform_filter_valid(x: np.ndarray, w: int) -> np.ndarray:
     """Mean filter with `valid`-style interior matching scipy's reflect-free
     crop used by skimage SSIM (it filters with uniform_filter then crops
-    pad=(w-1)//2 on each side, so only interior values matter)."""
+    pad=(w-1)//2 on each side, so only interior values matter).
+
+    scipy's C moving-sum filter is ~3.5x faster than the f64 cumsum
+    integral image at 4K (285 vs 1007 ms/filter measured on the 1-core
+    eval host, agreeing to 2e-8 on the 255 scale) — SSIM is the
+    evaluator's dominant host cost (5 filters per frame)."""
+    if _scipy_uniform_filter is not None:
+        p = w // 2
+        f = _scipy_uniform_filter(x, size=w, mode="constant")
+        return f[p:x.shape[0] - p, p:x.shape[1] - p]
     c = np.cumsum(np.cumsum(np.pad(x, ((1, 0), (1, 0)), mode="constant"),
                             axis=0), axis=1)
     s = c[w:, w:] - c[:-w, w:] - c[w:, :-w] + c[:-w, :-w]
@@ -68,11 +83,15 @@ def _uniform_filter_valid(x: np.ndarray, w: int) -> np.ndarray:
 
 
 def ssim_gray(im1: np.ndarray, im2: np.ndarray, data_range: float,
-              win_size: int = 7, K1: float = 0.01, K2: float = 0.03) -> float:
+              win_size: int = 7, K1: float = 0.01, K2: float = 0.03,
+              dtype=np.float64) -> float:
     """structural_similarity equivalent for 2-D float images with
-    skimage defaults (uniform window, crop=True)."""
-    im1 = np.asarray(im1, np.float64)
-    im2 = np.asarray(im2, np.float64)
+    skimage defaults (uniform window, crop=True).
+
+    dtype=np.float32 (FLDRX_SSIM_F32=1 via ssim_bgr) halves the host cost
+    at 4K; measured deviation ~4e-7 in the SSIM value (reported at 4 dp)."""
+    im1 = np.asarray(im1, dtype)
+    im2 = np.asarray(im2, dtype)
     NP = win_size ** 2
     cov_norm = NP / (NP - 1)  # sample covariance (skimage use_sample_covariance)
     ux = _uniform_filter_valid(im1, win_size)
@@ -99,7 +118,17 @@ def ssim_bgr(img_true: np.ndarray, img_pred: np.ndarray) -> float:
     The reference's images flow through cv2 (BGR); it flips to RGB via
     [:, :, ::-1] before _rgb2ycbcr. Inputs here are HWC BGR float arrays.
     """
-    y_true = rgb2ycbcr(to_uint8(img_true, 0, 255)[:, :, ::-1])[:, :, 0]
-    y_pred = rgb2ycbcr(to_uint8(img_pred, 0, 255)[:, :, ::-1])[:, :, 0]
+    # only the Y channel is used: a single 3-coefficient dot instead of the
+    # full 3x3 YCbCr matmul (the two full conversions cost ~4 s/frame at 4K
+    # on the 1-core eval host; same BT.601 row, same value)
+    ty = np.array([0.256788235294118, 0.504129411764706, 0.097905882352941])
+
+    def y_of(img):
+        return to_uint8(img, 0, 255)[:, :, ::-1] @ ty + 16.0
+
+    y_true = y_of(img_true)
+    y_pred = y_of(img_pred)
     dr = y_pred.max() - y_pred.min()
-    return ssim_gray(y_true, y_pred, data_range=dr)
+    import os
+    dt = np.float32 if os.environ.get("FLDRX_SSIM_F32") else np.float64
+    return ssim_gray(y_true, y_pred, data_range=dr, dtype=dt)
