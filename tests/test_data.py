@@ -162,3 +162,35 @@ def test_inter4k_train_dataset(tmp_path):
     assert frames.shape == (3, 32, 32, 3)
     assert 0.0 < t < 1.0
     assert frames.min() >= -1.0 and frames.max() <= 1.0
+
+
+def test_decode_cache_avoids_pair_redecodes(x_layout, monkeypatch):
+    """×N items share I0/I1: the LRU must serve repeats without re-decoding,
+    and must return byte-identical frames."""
+    from fldrx.data import datasets as D
+
+    calls = []
+    real = D.imread_bgr
+
+    def counting(p):
+        calls.append(p)
+        return real(p)
+
+    monkeypatch.setattr(D, "imread_bgr", counting)
+    import fldrx.data.native as N
+    monkeypatch.setattr(N, "decode_png_batch_bgr", lambda paths, threads=3:
+                        None)                       # force the PIL path
+    D._DECODE_CACHE.clear()
+    cfg = papermodel().replace(x_test_data_path=x_layout)
+    ds = XTest(cfg, multiple=8, validation=False)
+    # first item of a pair: 3 decodes; the next 6 items re-use I0/I1
+    f0, _, _ = ds.load(0)
+    n0 = len(calls)
+    assert n0 == 3
+    for i in range(1, 7):
+        ds.load(i)
+    assert len(calls) == n0 + 6        # one NEW target frame per item
+    # identical bytes through the cache
+    f0b, _, _ = ds.load(0)
+    np.testing.assert_array_equal(f0, f0b)
+    D._DECODE_CACHE.clear()
