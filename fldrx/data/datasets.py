@@ -32,8 +32,18 @@ def imread_bgr(path: str) -> np.ndarray:
 
 def frames_to_tensor(frames: np.ndarray) -> np.ndarray:
     """[T,H,W,C] uint8 → [T,H,W,C] f32 in [-1,1] (RGBframes_np2Tensor,
-    utils.py:237-251). NHWC retained (TPU layout; reference goes CTHW)."""
-    return (frames.astype(np.float32) / 255.0 - 0.5) * 2.0
+    utils.py:237-251). NHWC retained (TPU layout; reference goes CTHW).
+
+    In-place ops in the SAME order as the reference expression
+    ((x/255 − .5)·2) — bitwise equal, ONE buffer instead of four: the
+    expression form measured 15.4 s vs 0.18 s for 3 4K frames on the
+    1-core eval host (large fresh temporaries fault/allocate terribly
+    there)."""
+    x = frames.astype(np.float32)
+    x /= 255.0
+    x -= 0.5
+    x *= 2.0
+    return x
 
 
 def half_res_bilinear(frames: np.ndarray) -> np.ndarray:
