@@ -174,8 +174,39 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     defer = bool(int(os.environ.get("FLDRX_EVAL_DEFER", "0")))
     deferred: List = []
 
+    # FLDRX_DEVICE_METRICS=1: PSNR/SSIM computed ON-CHIP per chunk
+    # (ops/metrics_jax.py) — only two scalars per frame cross the relay.
+    # The 38 MB/frame D2H and the ~2.8 s/frame of 1-core host SSIM both
+    # disappear. Engaged only when nothing else needs the frames on host
+    # (no PNG dump, no validation rec-loss) and the outputs are plain
+    # layout (cfg.planes_out falls back to the host path).
+    devmet = (bool(int(os.environ.get("FLDRX_DEVICE_METRICS", "0")))
+              and compute_metrics and not save_dir and not validation)
+    _metfn = [None]
+
+    def chunk_metrics(out, items_chunk):
+        if out.shape[-1] != 3:
+            return None                   # u-plane form → host path
+        import jax.numpy as jnp
+        from ..ops.metrics_jax import make_chunk_metrics
+        if _metfn[0] is None:
+            _metfn[0] = make_chunk_metrics(xvfi_psnr)
+        tgts = jnp.asarray(np.stack([it[1][2] for it in items_chunk], 0))
+        return _metfn[0](out[:, 0], tgts)
+
     def finish(entry):
-        items, outs, t0 = entry
+        items, outs, t0, mets = entry
+        if mets is not None and all(m is not None for m in mets):
+            flat = [(float(p), float(s))
+                    for ps, ss in mets
+                    for p, s in zip(np.asarray(ps), np.asarray(ss))]
+            dt = (time.time() - t0) / len(items)
+            for (idx, frames, t, scene), (p, s) in zip(items, flat):
+                pred_time.update(dt)
+                metric_q.append((idx, t, pool.submit(
+                    lambda p=p, s=s: (p, s, None))))
+                drain(limit=24)
+            return
         preds: List[np.ndarray] = []
         for out in outs:
             preds.extend(np.asarray(out)[:, 0])
@@ -198,14 +229,21 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         if parallel_eval is not None:
             # parallel_eval returns [T, H, W, 3]: normalize to chunk shape
             entry = (list(pending),
-                     [np.asarray(parallel_eval(inputs, ts))[:, None]], t0)
+                     [np.asarray(parallel_eval(inputs, ts))[:, None]], t0,
+                     None)
         else:
             flow, padded, extras = interp.precompute_flow(inputs)
             outs = [interp.synthesize_multi_at(flow, padded,
                                                ts[k:k + tchunk],
                                                (H, W), extras)
                     for k in range(0, len(ts), tchunk)]
-            entry = (list(pending), outs, t0)
+            mets = None
+            if devmet:
+                items_l = list(pending)
+                mets = [chunk_metrics(out, items_l[k:k + tchunk])
+                        for out, k in zip(outs,
+                                          range(0, len(ts), tchunk))]
+            entry = (list(pending), outs, t0, mets)
         pending.clear()
         deferred.append(entry)
         while len(deferred) > (1 if defer else 0):

@@ -147,6 +147,28 @@ def test_evaluator_deferred_pipeline_matches(tmp_path, monkeypatch):
     np.testing.assert_allclose(res.ssim, ref.ssim, atol=1e-6)
 
 
+def test_evaluator_device_metrics_matches(tmp_path, monkeypatch):
+    """FLDRX_DEVICE_METRICS=1 (PSNR/SSIM on-chip, scalar fetch) must agree
+    with the host metric chain."""
+    from PIL import Image
+    from fldrx.eval.evaluator import evaluate
+    rng = np.random.RandomState(6)
+    root = tmp_path / "xtest"
+    d = root / "Type1" / "TEST01"
+    d.mkdir(parents=True)
+    base = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    for i in range(33):
+        Image.fromarray(np.roll(base, i, axis=1)).save(d / f"{i:04d}.png")
+    interp, cfg = _interp(S=1)
+    cfg = cfg.replace(x_test_data_path=str(root))
+    ref = evaluate(interp, cfg, "X4K1000FPS", multiple=4, verbose=False)
+    monkeypatch.setenv("FLDRX_DEVICE_METRICS", "1")
+    res = evaluate(interp, cfg, "X4K1000FPS", multiple=4, verbose=False)
+    assert res.n_samples == ref.n_samples == 3
+    np.testing.assert_allclose(res.psnr, ref.psnr, atol=1e-3)
+    np.testing.assert_allclose(res.ssim, ref.ssim, atol=1e-4)
+
+
 def test_evaluator_planes_out_matches(tmp_path):
     """The ACTUAL evaluate() loop with cfg.planes_out on packed-path
     geometry (≥768 px so can_use_packed accepts): metrics must equal the
