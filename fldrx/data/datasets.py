@@ -118,14 +118,19 @@ class TestDataset:
     def __len__(self):
         return len(self.items)
 
-    def load(self, idx: int, patch: int = -1) -> Tuple[np.ndarray, float, str]:
+    def load(self, idx: int, patch: int = -1,
+             raw: bool = False) -> Tuple[np.ndarray, float, str]:
+        """raw=True returns the UINT8 frames (the device normalizes —
+        eval/pipeline.to_model_frames, input deviation ≤1 ulp from XLA's
+        division lowering) so H2D ships 1 byte/px instead of 4; callers
+        detect by dtype."""
         it = self.items[idx]
         frames = _read_frames_cached(list(it.paths))
         if patch != -1:
             ih, iw = frames.shape[1:3]
             ix, iy = (iw - patch) // 2, (ih - patch) // 2
             frames = frames[:, iy:iy + patch, ix:ix + patch]
-        return frames_to_tensor(frames), it.t, it.scene
+        return (frames if raw else frames_to_tensor(frames)), it.t, it.scene
 
 
 def make_x_test_items(root: str, multiple: int,
@@ -161,8 +166,10 @@ class XTest(TestDataset):
         if not self.items:
             raise RuntimeError(f"Found 0 files in subfolders of: {root}")
 
-    def load(self, idx, patch=-1):
-        frames, t, scene = super().load(idx, patch)
+    def load(self, idx, patch=-1, raw=False):
+        # half_res needs float math: raw mode degrades to f32 there
+        frames, t, scene = super().load(idx, patch,
+                                        raw=raw and not self.half_res)
         if self.half_res:
             frames = half_res_bilinear(frames)
         return frames, t, scene
@@ -191,8 +198,9 @@ class XiphTest(TestDataset):
         if not self.items:
             raise RuntimeError("empty Xiph dataset")
 
-    def load(self, idx, patch=-1):
-        frames, t, scene = super().load(idx, patch)
+    def load(self, idx, patch=-1, raw=False):
+        frames, t, scene = super().load(idx, patch,
+                                        raw=raw and not self.half_res)
         if self.crop_2k:   # Xiph2KC center crop (utils.py:195-197)
             frames = frames[:, 540:-540, 1024:-1024]
         if self.half_res:

@@ -93,8 +93,11 @@ def train_batches(dataset, batch_size: int, seed: int, epoch: int,
                "t": np.asarray(buf_t, np.float32).reshape(-1, 1)}
 
 
-def test_samples(dataset, patch: int = -1, num_threads: int = 8):
-    """Prefetched test iterator: yields (frames [3,H,W,C], t, scene)."""
-    loader = PrefetchLoader(lambda i: dataset.load(i, patch), len(dataset),
-                            num_threads=num_threads)
+def test_samples(dataset, patch: int = -1, num_threads: int = 8,
+                 raw: bool = False):
+    """Prefetched test iterator: yields (frames [3,H,W,C], t, scene).
+    raw=True yields uint8 frames (device-side normalization, 4× less H2D
+    — see datasets.TestDataset.load)."""
+    loader = PrefetchLoader(lambda i: dataset.load(i, patch, raw=raw),
+                            len(dataset), num_threads=num_threads)
     return iter(loader)

@@ -115,6 +115,9 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
             from ..ops.repack import planes_to_plain_np
             pred = planes_to_plain_np(pred)
         target = frames[2]
+        if target.dtype == np.uint8:  # FLDRX_RAW_FRAMES: normalize here
+            from ..data.datasets import frames_to_tensor
+            target = frames_to_tensor(target[None])[0]
         out_img = np.around(metrics.denorm255(pred))
         p = s = rec = None
         if compute_metrics:
@@ -250,7 +253,14 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
             finish(deferred.pop(0))
 
     stop = False
-    for idx, (frames, t, scene) in enumerate(test_samples(ds, patch)):
+    # FLDRX_RAW_FRAMES=1: frames stay uint8 to the device (4× less H2D over
+    # the relay; normalization happens in-jit, bitwise the host chain).
+    # Off for validation (host rec-loss wants the f32 tensors it had) and
+    # for the multi-chip bridges (their programs expect f32 frames).
+    raw = (bool(int(os.environ.get("FLDRX_RAW_FRAMES", "0")))
+           and not validation and parallel_eval is None)
+    for idx, (frames, t, scene) in enumerate(test_samples(ds, patch,
+                                                          raw=raw)):
         if stop:
             break
         if jump_to > 1 and idx < jump_to:    # --jumptotest (main.py:817-819)

@@ -42,9 +42,22 @@ def build_pyramid(frames: jnp.ndarray, cfg: FLDRConfig, n_levels: int):
     return pyr
 
 
+def to_model_frames(frames: jnp.ndarray) -> jnp.ndarray:
+    """uint8 device frames → f32 [-1,1] INSIDE the jitted program, with a
+    4× smaller H2D over the axon relay (FLDRX_RAW_FRAMES). Same f32 op
+    chain as the host frames_to_tensor, but XLA lowers the /255 division
+    differently (reciprocal-multiply) — inputs deviate by ≤1 ulp
+    (measured ≤6e-8; model outputs ≤2e-6, i.e. ~120 dB — far inside the
+    parity budget)."""
+    if frames.dtype == jnp.uint8:
+        return (frames.astype(jnp.float32) / 255.0 - 0.5) * 2.0
+    return frames
+
+
 def _interp_fn(cfg: FLDRConfig, padded_hw: Tuple[int, int],
                orig_hw: Tuple[int, int], compute_dtype):
     def fn(params, frames, t):
+        frames = to_model_frames(frames)
         ph, pw = pad_amount(frames.shape[2], cfg.div_pad), pad_amount(
             frames.shape[3], cfg.div_pad)
         if ph or pw:
@@ -71,8 +84,17 @@ class Interpolator:
         cd = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[cfg.compute_dtype]
         self._compute_dtype = cd
 
-    def _compiled(self, shape):
-        key = tuple(shape)
+    @staticmethod
+    def _ingest(frames) -> jnp.ndarray:
+        """uint8 passes through (normalized on device — to_model_frames);
+        everything else is cast to f32 on host as before."""
+        frames = jnp.asarray(frames)
+        if frames.dtype != jnp.uint8:
+            frames = frames.astype(jnp.float32)
+        return frames
+
+    def _compiled(self, shape, dtype):
+        key = tuple(shape) + (str(dtype),)
         if key not in self._cache:
             B, T, H, W, C = shape
             fn = _interp_fn(self.cfg, (H, W), (H, W), self._compute_dtype)
@@ -81,9 +103,10 @@ class Interpolator:
 
     def __call__(self, frames, t) -> jnp.ndarray:
         """Interpolate: returns [B, H, W, 3] at time(s) t [B,1]."""
-        frames = jnp.asarray(frames, jnp.float32)
+        frames = self._ingest(frames)
         t = jnp.asarray(t, jnp.float32).reshape(frames.shape[0], 1)
-        return self._compiled(frames.shape)(self.params, frames, t)
+        return self._compiled(frames.shape, frames.dtype)(
+            self.params, frames, t)
 
     def interpolate_np(self, frames: np.ndarray, t) -> np.ndarray:
         return np.asarray(self(frames, t))
@@ -93,12 +116,13 @@ class Interpolator:
     # synthesis); the reference re-runs the whole model per t (main.py:867).
     # Here ×N interpolation computes features+flow once per frame pair.
 
-    def _compiled_flow(self, shape):
-        key = ("flow",) + tuple(shape)
+    def _compiled_flow(self, shape, dtype=jnp.float32):
+        key = ("flow", str(dtype)) + tuple(shape)
         if key not in self._cache:
             cfg = self.cfg
 
             def fn(params, frames):
+                frames = to_model_frames(frames)
                 ph = pad_amount(frames.shape[2], cfg.div_pad)
                 pw = pad_amount(frames.shape[3], cfg.div_pad)
                 if ph or pw:
@@ -125,9 +149,11 @@ class Interpolator:
         return self._cache[key]
 
     def precompute_flow(self, frames):
-        """frames [B,2,H,W,3] in [-1,1] → (flow, padded_frames, extras)."""
-        frames = jnp.asarray(frames, jnp.float32)
-        return self._compiled_flow(frames.shape)(self.params, frames)
+        """frames [B,2,H,W,3] f32 in [-1,1] — or uint8, normalized on
+        device (4× less H2D) → (flow, padded_frames, extras)."""
+        frames = self._ingest(frames)
+        return self._compiled_flow(frames.shape, frames.dtype)(
+            self.params, frames)
 
     def synthesize_at(self, flow, padded_frames, t, orig_hw, extras=None):
         t = jnp.asarray(t, jnp.float32).reshape(flow.shape[0], 1)

@@ -60,6 +60,9 @@ def psnr_ssim_frame(pred, target, xvfi_psnr: bool = False):
     """One frame's (psnr, ssim): pred/target [H, W, 3] BGR f32 in [-1, 1]
     (the evaluator's tensors). Mirrors metrics_job's host chain:
     out_img = round(denorm255(pred)), tgt_img = denorm255(target)."""
+    if target.dtype == jnp.uint8:     # FLDRX_RAW_FRAMES: replicate the
+        # host normalize→denorm roundtrip so values match the f32 path
+        target = (target.astype(jnp.float32) / 255.0 - 0.5) * 2.0
     out_img = _round_half_even(_denorm255(pred.astype(jnp.float32)))
     tgt_img = _denorm255(target.astype(jnp.float32))
     d = tgt_img - out_img

@@ -63,6 +63,9 @@ L "B6. bench planes_out (host-side final unpack; ~12 ms/t device saving,
    bit-equal layout — adopt as evaluator/bench default if it wins)"
 FLDRX_BENCH_PLANES_OUT=1 timeout 2400 python bench.py
 
+L "B7. bench u8 ingestion (4x less H2D; device-side normalize)"
+FLDRX_BENCH_U8=1 timeout 2400 python bench.py
+
 L "C1. group K=16"
 FLDRX_GWIN=group FLDRX_GK=16 timeout 1200 python -u probes/gwprobe.py
 L "C2. winy 256 (DMA-row theory)"

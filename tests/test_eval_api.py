@@ -147,6 +147,48 @@ def test_evaluator_deferred_pipeline_matches(tmp_path, monkeypatch):
     np.testing.assert_allclose(res.ssim, ref.ssim, atol=1e-6)
 
 
+def test_uint8_ingestion_matches_f32():
+    """uint8 frames normalized ON DEVICE (to_model_frames) must match the
+    host frames_to_tensor + f32 transfer to input-ulp tolerance (XLA
+    lowers the /255 as a reciprocal multiply: inputs ≤1 ulp apart)."""
+    interp, _ = _interp(S=1)
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 256, (1, 2, 64, 64, 3), np.uint8)
+    f = u8.astype(np.float32)
+    f /= 255.0
+    f -= 0.5
+    f *= 2.0
+    a = interp.interpolate_np(u8, [[0.5]])
+    b = interp.interpolate_np(f, [[0.5]])
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_evaluator_raw_frames_matches(tmp_path, monkeypatch):
+    """FLDRX_RAW_FRAMES=1 (uint8 to the device) must reproduce the f32
+    pipeline's metrics to input-ulp tolerance — alone and combined with
+    device metrics."""
+    from PIL import Image
+    from fldrx.eval.evaluator import evaluate
+    rng = np.random.RandomState(8)
+    root = tmp_path / "xtest"
+    d = root / "Type1" / "TEST01"
+    d.mkdir(parents=True)
+    base = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    for i in range(33):
+        Image.fromarray(np.roll(base, i, axis=1)).save(d / f"{i:04d}.png")
+    interp, cfg = _interp(S=1)
+    cfg = cfg.replace(x_test_data_path=str(root))
+    ref = evaluate(interp, cfg, "X4K1000FPS", multiple=4, verbose=False)
+    monkeypatch.setenv("FLDRX_RAW_FRAMES", "1")
+    res = evaluate(interp, cfg, "X4K1000FPS", multiple=4, verbose=False)
+    np.testing.assert_allclose(res.psnr, ref.psnr, atol=1e-3)
+    np.testing.assert_allclose(res.ssim, ref.ssim, atol=1e-5)
+    monkeypatch.setenv("FLDRX_DEVICE_METRICS", "1")
+    res2 = evaluate(interp, cfg, "X4K1000FPS", multiple=4, verbose=False)
+    np.testing.assert_allclose(res2.psnr, ref.psnr, atol=1e-3)
+    np.testing.assert_allclose(res2.ssim, ref.ssim, atol=1e-4)
+
+
 def test_evaluator_device_metrics_matches(tmp_path, monkeypatch):
     """FLDRX_DEVICE_METRICS=1 (PSNR/SSIM on-chip, scalar fetch) must agree
     with the host metric chain."""
