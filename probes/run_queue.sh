@@ -19,8 +19,8 @@ if [ -n "$QUICK" ]; then
   FLDRX_GWIN=group timeout 2400 python bench.py
   L "Q3. bench group+pipe+zkernel"
   FLDRX_PIPE_BF16=1 FLDRX_GWIN=group FLDRX_ZKERNEL=1 timeout 2400 python bench.py
-  L "Q4. bench planes_out+flow_fused (on top of whatever won above: rerun manually)"
-  FLDRX_BENCH_PLANES_OUT=1 FLDRX_FLOW_FUSED=1 timeout 2400 python bench.py
+  L "Q4. bench planes_out+flow_fused+u8 (on top of whatever won above: rerun manually)"
+  FLDRX_BENCH_PLANES_OUT=1 FLDRX_FLOW_FUSED=1 FLDRX_BENCH_U8=1 timeout 2400 python bench.py
   L "quick queue complete"
   exit 0
 fi
