@@ -125,7 +125,9 @@ def main():
     if bool(int(os.environ.get("FLDRX_BENCH_U8", "0"))):
         # ship uint8 and normalize on device (4× less H2D per pair; real
         # video frames are uint8-quantized anyway — see FLDRX_RAW_FRAMES)
-        frames = np.round((frames + 1.0) * 127.5).astype(np.uint8)
+        frames = np.clip(np.round((frames + 1.0) * 127.5), 0,
+                         255).astype(np.uint8)   # content reaches ±1.07:
+        # unclipped casts would WRAP and inject salt-and-pepper edges
     frames_j = jnp.asarray(frames)
     # the benchmark protocol: X-Test ×8 → 7 interpolated frames per pair
     # (main.py:359); flow is computed once per pair, synthesis per t

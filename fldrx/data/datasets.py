@@ -70,45 +70,62 @@ class TestItem:
     scene: str
 
 
-_DECODE_CACHE: "collections.OrderedDict[str, np.ndarray]" = \
+_DECODE_CACHE: "collections.OrderedDict[tuple, np.ndarray]" = \
     collections.OrderedDict()
-_DECODE_CACHE_CAP = int(os.environ.get("FLDRX_DECODE_CACHE", "8"))
+# default 12: the ×8 protocol's working set is 9 distinct frames per pair
+# plus the next pair's first inserts under the 8-thread prefetcher
+_DECODE_CACHE_CAP = int(os.environ.get("FLDRX_DECODE_CACHE", "12"))
 _DECODE_LOCK = threading.Lock()
 
 
+def _decode_batch(paths):
+    from .native import decode_png_batch_bgr
+    dec = decode_png_batch_bgr(paths, threads=3)
+    if dec is None:          # native decoder unavailable → PIL fallback
+        dec = [imread_bgr(p) for p in paths]
+    return dec
+
+
+def _cache_key(path: str):
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)   # rewritten files re-decode
+
+
 def _read_frames_cached(paths) -> np.ndarray:
-    """Decode PNGs with a small path-keyed LRU of the raw uint8 frames.
+    """Decode PNGs with a small (path, mtime, size)-keyed LRU of the raw
+    uint8 frames.
 
     The ×N eval protocol's items share a frame PAIR across multiple−1
     consecutive targets (make_x_test_items layout), so I0/I1 would decode
     multiple−1 times each — at 4K that's ~230 ms/decode on the 1-core eval
     host (measured, native decoder), ~3 s of redundant host work per pair
-    at ×8. Capacity (frames) via FLDRX_DECODE_CACHE, default 8 ≈ 210 MB."""
+    at ×8. Capacity (frames) via FLDRX_DECODE_CACHE ≈ cap × 26 MB at 4K."""
+    keys = [_cache_key(p) for p in paths]
     with _DECODE_LOCK:
         missing = []
-        for p in paths:
-            if p in _DECODE_CACHE:
-                _DECODE_CACHE.move_to_end(p)     # hits refresh recency
+        for p, k in zip(paths, keys):
+            if k in _DECODE_CACHE:
+                _DECODE_CACHE.move_to_end(k)     # hits refresh recency
             else:
-                missing.append(p)
+                missing.append((p, k))
     if missing:
-        from .native import decode_png_batch_bgr
-        dec = decode_png_batch_bgr(missing, threads=3)
-        if dec is None:      # native decoder unavailable → PIL fallback
-            dec = [imread_bgr(p) for p in missing]
+        dec = _decode_batch([p for p, _ in missing])
         with _DECODE_LOCK:
-            for p, f in zip(missing, dec):
-                _DECODE_CACHE[p] = f
-                _DECODE_CACHE.move_to_end(p)
+            for (p, k), f in zip(missing, dec):
+                # copy: the native batch returns VIEWS into one array —
+                # a surviving view would pin the whole batch allocation
+                _DECODE_CACHE[k] = np.ascontiguousarray(f)
+                _DECODE_CACHE.move_to_end(k)
             while len(_DECODE_CACHE) > max(_DECODE_CACHE_CAP, len(paths)):
                 _DECODE_CACHE.popitem(last=False)
     with _DECODE_LOCK:
-        out = [_DECODE_CACHE[p] if p in _DECODE_CACHE else None
-               for p in paths]
-    # races under capacity pressure: decode any evicted-before-read stragglers
-    for i, (p, f) in enumerate(zip(paths, out)):
-        if f is None:
-            out[i] = imread_bgr(p)
+        out = [_DECODE_CACHE.get(k) for k in keys]
+    # races under capacity pressure: re-decode evicted-before-read
+    # stragglers (through the native decoder, not the slow PIL path)
+    bad = [i for i, f in enumerate(out) if f is None]
+    if bad:
+        for i, f in zip(bad, _decode_batch([paths[i] for i in bad])):
+            out[i] = f
     return np.stack(out, 0)
 
 

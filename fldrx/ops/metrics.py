@@ -53,8 +53,8 @@ def _mse(img_true: np.ndarray, img_pred: np.ndarray) -> float:
         d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
         np.square(d, out=d)
         return float(np.mean(d))
-    d = a.astype(np.float32) - b.astype(np.float32)
-    np.square(d, out=d)
+    d = np.subtract(a, b, dtype=np.float32)     # one temporary (astype
+    np.square(d, out=d)                          # would copy BOTH operands)
     return float(np.mean(d, dtype=np.float64))
 
 
@@ -183,7 +183,7 @@ def ssim_bgr(img_true: np.ndarray, img_pred: np.ndarray) -> float:
     # (scipy's filter accumulates in double), ~2.5x faster per 4K frame on
     # the 1-core eval host; FLDRX_SSIM_F64=1 restores the f64 chain.
     import os
-    f64 = bool(os.environ.get("FLDRX_SSIM_F64"))
+    f64 = bool(int(os.environ.get("FLDRX_SSIM_F64", "0")))
     dt = np.float64 if f64 else np.float32
     ty_bgr = np.array([0.097905882352941, 0.504129411764706,
                        0.256788235294118], dt)

@@ -32,11 +32,14 @@ def _round_half_even(x):
 
 
 def _uniform_filter_valid(x, w: int):
-    """Mean over w×w windows, valid interior — via the separable cumsum
-    (integral image) trick in f32 (Y ≤ 235, w=7: sums ≤ 2.7e6 — exact to
-    ~0.16 absolute in f32; matches the host filter to ~1e-6 relative)."""
-    c = jnp.cumsum(jnp.cumsum(jnp.pad(x, ((1, 0), (1, 0))), axis=0), axis=1)
-    s = c[w:, w:] - c[:-w, w:] - c[w:, :-w] + c[:-w, :-w]
+    """Mean over w×w windows, valid interior — via LOCAL window sums
+    (lax.reduce_window, VALID padding): each sum accumulates only the 49
+    in-window terms (≤ 2.7e6 for y², f32-exact to ~1e-7 relative). A
+    global f32 integral image is NOT usable here: at 4K the cumsum
+    reaches ~1.7e11 where an f32 ulp is 16384, losing ~3 digits of every
+    window sum (measured 5.4e-4 of SSIM)."""
+    s = jax.lax.reduce_window(x, jnp.float32(0.0), jax.lax.add,
+                              (w, w), (1, 1), "VALID")
     return s / (w * w)
 
 
@@ -72,14 +75,18 @@ def psnr_ssim_frame(pred, target, xvfi_psnr: bool = False):
     else:
         p = 10.0 * jnp.log10(255.0 ** 2 / mse)
 
-    ty = jnp.asarray(_TY_BGR, jnp.float32)
     # to_uint8 on [0,255]-ranged inputs: x/255*255 then round/clip —
-    # same chain as metrics.to_uint8(vmin=0, vmax=255)
+    # same chain as metrics.to_uint8(vmin=0, vmax=255). The Y dot is
+    # ELEMENTWISE fma (3 terms), never the MXU: a default-precision f32
+    # dot would run as a 1-pass bf16 matmul on TPU (CLAUDE.md rule) and
+    # put ~0.2% on the BT.601 coefficients of a parity path
     def y_of(img):
         x = img / jnp.float32(255.0)
         x = x * 255
         x = jnp.clip(jnp.round(x), 0, 255)
-        return x @ ty + 16.0
+        return (x[..., 0] * jnp.float32(_TY_BGR[0])
+                + x[..., 1] * jnp.float32(_TY_BGR[1])
+                + x[..., 2] * jnp.float32(_TY_BGR[2]) + 16.0)
 
     y_t = y_of(tgt_img)
     y_p = y_of(out_img)
