@@ -73,6 +73,11 @@ FLDRX_WINY_G=256 timeout 1200 python -u probes/wprobe.py
 L "C3. GTILE=64 tile/group"
 FLDRX_GTILE=64 timeout 1800 python -u probes/wprobe.py
 FLDRX_GTILE=64 FLDRX_GWIN=group timeout 1800 python -u probes/gwprobe.py
+L "C3b. splat strip reach 256 (OYR_S=128: +32 px vertical spill margin;
+   MXU-free — the [STRIPH, N] one-hot K-dim pads to 256 anyway; only the
+   extra hat rows + VMEM cost anything. Adopt if the bench delta is ~0)"
+FLDRX_OYR_S=128 timeout 2400 python bench.py
+
 L "C4. UNet conv BH sweep"
 for bh in 8 16 32 64; do
   FLDRX_CONV_BH=$bh timeout 1800 python -u probes/convprobe.py
