@@ -797,11 +797,30 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
         log1mt = jnp.log(1.0 - tb5)
         bias = jnp.concatenate(
             [log1mt, logt, log1mt, logt, log1mt, logt], -1)  # [B,1,1,1,6]
+        # FLDRX_BLEND24: keep the softmax on the 24-ch minor — stability
+        # max over all 24 (constant within each group of 6, so the group
+        # softmax is unchanged up to ~ulp exponent scaling) and the group
+        # denominator via a block-diagonal ones [24,24] matmul — the
+        # (B,Hp4,Wp4,4,6) narrow-minor softmax intermediate never exists.
+        # Gated until TPU-measured (probes/run_queue.sh A8).
+        blend24 = bool(int(os.environ.get("FLDRX_BLEND24", "0")))
+        if blend24:
+            G24 = jnp.asarray(
+                np.kron(np.eye(4, dtype=np.float32),
+                        np.ones((6, 6), np.float32)))
+            bias24 = jnp.tile(bias[..., 0, :], (1, 1, 1, 4))  # [B,1,1,24]
         out_planes = []
         for u in range(4):
-            p6 = jax.nn.softmax(
-                out[..., u * 24:u * 24 + 24].reshape(
-                    B, Hp4, Wp4, 4, 6) / Tparam + bias, axis=-1)
+            if blend24:
+                xu = out[..., u * 24:u * 24 + 24] / Tparam + bias24
+                e = jnp.exp(xu - jnp.max(xu, axis=-1, keepdims=True))
+                denom = jnp.einsum("bhwq,qr->bhwr", e, G24,
+                                   precision=jax.lax.Precision.HIGHEST)
+                p6 = (e / denom).reshape(B, Hp4, Wp4, 4, 6)
+            else:
+                p6 = jax.nn.softmax(
+                    out[..., u * 24:u * 24 + 24].reshape(
+                        B, Hp4, Wp4, 4, 6) / Tparam + bias, axis=-1)
             out_u = (p6[..., 0:1] * cells(warped0P[k], u, 3)
                      + p6[..., 1:2] * cells(warped1P[k], u, 3)
                      + p6[..., 2:3] * cells(im0P[k], u, 3)

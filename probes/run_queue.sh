@@ -52,6 +52,10 @@ L "A7. fused flow feature warps, now PLAIN-layout (r3 remeasure: u-plane
    form lost 156->279 ms to interleaves; plain strip output removes them)"
 FLDRX_FLOW_FUSED=1 timeout 2400 python bench.py
 
+L "A8. bench BLEND24 (24-minor softmax — no (4,6) narrow-minor
+   intermediate; ~ulp vs jax.nn.softmax, tests pin it)"
+FLDRX_BLEND24=1 timeout 2400 python bench.py
+
 L "B4. bench t_fuse (cross-t fused launches, NOW with kernel vals sharing:
    2 vals arrays for 2T problems — r3 measured 4.23 vs 4.28 WITHOUT sharing;
    the ~450 MB less pinning may flip it)"
