@@ -673,6 +673,12 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
 
     # ---- cross-t fused warp launches: ALL 2T splats share one strip
     # sweep, ALL 2T flow compositions share one gather launch ----
+    # FLDRX_TCOORDS=1: additionally share the COORDS — the 2T splat
+    # problems ship the two base flow fields once plus per-problem t
+    # scalars, and the kernel rebuilds each t's coords internally
+    # (bitwise-equal; drops ~(2T−2)·75 MB of pinned per-t coord arrays
+    # per chunk at 4K — the t_fuse memory-pressure item)
+    tcoords = bool(int(os.environ.get("FLDRX_TCOORDS", "0")))
     w0L = [[] for _ in range(T)]
     w1L = [[] for _ in range(T)]
     fb0L = [[] for _ in range(T)]
@@ -683,12 +689,19 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
         # identity-based dedup then ships 2 vals arrays for the 2T
         # problems and routes p → p % 2 in the kernel's index_map
         v0b, v1b = vals0[b], vals1[b]
-        for k in range(T):
-            probs.append((v0b, xsF[None, :] + flow_t0f[k][b, ..., 0],
-                          ysF[:, None] + flow_t0f[k][b, ..., 1]))
-            probs.append((v1b, xsF[None, :] + flow_t1f[k][b, ..., 0],
-                          ysF[:, None] + flow_t1f[k][b, ..., 1]))
-        souts = splat_multi(probs, vals_tiled=ztiled)
+        if tcoords:
+            for k in range(T):
+                probs.append((v0b, 0, tbs[k][b, 0, 0, 0]))
+                probs.append((v1b, 1, (1.0 - tbs[k])[b, 0, 0, 0]))
+            souts = splat_multi(probs, vals_tiled=ztiled,
+                                coord_bases=[flow_01f[b], flow_10f[b]])
+        else:
+            for k in range(T):
+                probs.append((v0b, xsF[None, :] + flow_t0f[k][b, ..., 0],
+                              ysF[:, None] + flow_t0f[k][b, ..., 1]))
+                probs.append((v1b, xsF[None, :] + flow_t1f[k][b, ..., 0],
+                              ysF[:, None] + flow_t1f[k][b, ..., 1]))
+            souts = splat_multi(probs, vals_tiled=ztiled)
         gimgs, gprobs = [], []
         for k in range(T):
             sx0, sy0 = _sample_coords(fbfl0[k][b], h, w)

@@ -1167,8 +1167,7 @@ def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K,
     return outs[0] if n_problems == 1 else outs
 
 
-def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
-                     coords_ref, vals_ref, out_hbm, strip_ref, sems):
+def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, scaled, *refs):
     """Strip-accumulator splat with a u-MAJOR strip that flushes directly
     into u-planes (see the u-plane layout note above), processing
     N_PROBLEMS independent splats in one continuous sweep.
@@ -1182,7 +1181,27 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
     tail region and resets, so problems never bleed into each other. The
     hat-form one-hot needs no okx/okyr: sources of spilled tiles are
     zeroed on the XLA side and re-added exactly by the fixup.
+
+    scaled=True (cross-t coord sharing): coords_ref carries tiled BASE flow
+    [K, 2, N] (problem p reads base p % n_bases via its index_map) and a
+    scales_ref input carries one f32 per problem; the kernel rebuilds the
+    absolute target coords as (iota_xy + s·flow) − origin with the XLA
+    prologue's op order. Equality contract: compilers are free to contract
+    the mul+add into an FMA (measured: XLA does, Mosaic may not), so the
+    rebuilt coords can differ from the plain path's by 1 f32 ulp — the
+    output deviation is one bf16 weight rounding on a measure-zero pixel
+    set (~0.1%, ≤2^-8 relative; window-edge ulp crossings only lose
+    ~2^-16 of tap mass, no structural failure). origins encode the
+    per-tile spill push in bit 22 (colC stays < 2^22). The 2T per-t coord
+    arrays of a chunk (~75 MB each at 4K) collapse to the n_bases shared
+    flow fields — the pinned-input pressure that made t_fuse lose 4.23 vs
+    4.28 fps in round 3.
     """
+    if scaled:
+        (origins_ref, scales_ref, coords_ref, vals_ref, out_hbm,
+         strip_ref, sems) = refs
+    else:
+        origins_ref, coords_ref, vals_ref, out_hbm, strip_ref, sems = refs
     i = pl.program_id(0)
     n = pl.num_programs(0)
     spr = tx // K                      # grid steps per tile-row
@@ -1250,11 +1269,34 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
               == jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)).astype(
                   jnp.float32)
 
+    spp = ty_local * tx // K           # grid steps per problem
+    n_tiles = ty_local * tx
+    if scaled:
+        ivx = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+               % TILE).astype(jnp.float32)
+        ivy = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+               // TILE).astype(jnp.float32)
+        s = scales_ref[0, 0]           # per-problem scale (block-selected)
     for j in range(K):
         g = i * K + j
-        colC = pl.multiple_of(origins_ref[g], 128)
-        txr = coords_ref[j, 0:1, :]                       # strip-relative
-        tyr = coords_ref[j, 1:2, :]
+        if scaled:
+            enc = origins_ref[g]
+            badf = (enc >> 22).astype(jnp.float32) * 1e6
+            colC = pl.multiple_of(enc & ((1 << 22) - 1), 128)
+            ox = (enc & ((1 << 22) - 1)) // C - winx     # colC/cp − padx
+            tl = g % n_tiles
+            # absolute coords rebuilt with the XLA prologue's op order:
+            # (iota + s·flow) − origin, spill push last (bitwise-equal)
+            xg = ((tl % tx) * TILE).astype(jnp.float32) + ivx
+            yg = ((tl // tx) * TILE).astype(jnp.float32) + ivy
+            oyf = ((tl // tx) * TILE - OYR_S).astype(jnp.float32)
+            txr = (xg + s * coords_ref[j, 0:1, :]
+                   ) - ox.astype(jnp.float32) - badf
+            tyr = (yg + s * coords_ref[j, 1:2, :]) - oyf
+        else:
+            colC = pl.multiple_of(origins_ref[g], 128)
+            txr = coords_ref[j, 0:1, :]                   # strip-relative
+            tyr = coords_ref[j, 1:2, :]
         # hat-form strip one-hot against the u-major row map; no okyr —
         # spilled tiles' pushed X coords hat to zero
         RYT = _hat(ivT, tyr)
@@ -1276,7 +1318,7 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, origins_ref,
 
 
 def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
-                       n_problems=1, n_vals=None):
+                       n_problems=1, n_vals=None, scales=None, n_bases=None):
     """u-plane splat launch over n_problems stacked problems: output
     [4, n_problems·seg4, WpC]; within a problem's segment, canvas row y
     lives at plane y%4, segment row y//4 + OYR_S/4.
@@ -1285,7 +1327,12 @@ def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
     problems' values ([n_vals·ntiles, C, N]) and problem p reads vals set
     p % n_vals via the BlockSpec index_map (the cross-t chunk's 2T splats
     share 2 t-invariant vals arrays; without sharing the XLA prologue
-    materializes and pins a concat copy per problem — ~150 MB each at 4K)."""
+    materializes and pins a concat copy per problem — ~150 MB each at 4K).
+
+    scales/n_bases (cross-t coord sharing, see _splat_kernel_up): rel_coords
+    carries n_bases TILED base flow fields [n_bases·ntiles, 2, N] (problem p
+    reads base p % n_bases), scales is [n_problems, 128] f32 (one value per
+    problem, lane-broadcast), and origins encode the spill push in bit 22."""
     N = TILE * TILE
     ty, tx = H // TILE, W // TILE
     padx = winx
@@ -1298,13 +1345,21 @@ def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
             lambda i, o: (((i // spp) % n_vals) * spp + i % spp, 0, 0))
     else:
         vspec = pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0))
+    scaled = scales is not None
+    if scaled:
+        cspec = pl.BlockSpec(
+            (K, 2, N),
+            lambda i, o: (((i // spp) % n_bases) * spp + i % spp, 0, 0))
+        in_specs = [pl.BlockSpec((1, 128), lambda i, o: (i // spp, 0)),
+                    cspec, vspec]
+        operands = (origins, scales, rel_coords, valsT)
+    else:
+        in_specs = [pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)), vspec]
+        operands = (origins, rel_coords, valsT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_problems * ty * tx // K,),
-        in_specs=[
-            pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)),     # coords
-            vspec,                                               # values^T
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((STRIPH, WpC), jnp.float32),
@@ -1312,7 +1367,8 @@ def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_splat_kernel_up, C, winx, K, tx, ty, n_problems),
+        functools.partial(_splat_kernel_up, C, winx, K, tx, ty, n_problems,
+                          scaled),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, n_problems * seg4, WpC),
                                        jnp.float32),
@@ -1321,7 +1377,7 @@ def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
             has_side_effects=True,
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(origins, rel_coords, valsT)
+    )(*operands)
     # slice each problem's image region: canvas row y ↔ plane y%4,
     # segment row y//4 + OYR_S/4
     r0 = OYR_S // 4
@@ -1336,6 +1392,19 @@ SPLAT_SPILL_TIERS = (8, 64, 512)   # exact-refix capacities (source tiles);
                                    # each cap costs ~0.1µs/px when chosen
 
 
+def _tile_xy_iota(H, W, tile=TILE):
+    """[ntiles, N] global x / y of every tile pixel (row-major tiles), built
+    from iota — spill-fixup branches rebuild per-t coords from these plus
+    the shared base flow instead of capturing materialized coord arrays
+    (lax.cond operands pin; see splat_multi coord_bases)."""
+    ty_, tx_ = H // tile, W // tile
+    g = jnp.arange(ty_ * tx_, dtype=jnp.int32)[:, None]
+    nn = jnp.arange(tile * tile, dtype=jnp.int32)[None, :]
+    xs = ((g % tx_) * tile + nn % tile).astype(jnp.float32)
+    ys = ((g // tx_) * tile + nn // tile).astype(jnp.float32)
+    return xs, ys
+
+
 def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C,
                     planes: bool = False):
     """Exact scatter-add for source tiles containing any spilled pixel.
@@ -1344,16 +1413,24 @@ def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C,
     sources are scatter-added exactly (4 corners, OOB dropped). Tile-level
     compaction avoids a 9.4M-element nonzero; over SPLAT_SPILL_TILES bad
     tiles falls back to the fully exact XLA splat. planes=True operates on
-    the u-plane layout [4, H/4, W·C] (target rows remapped)."""
+    the u-plane layout [4, H/4, W·C] (target rows remapped).
+
+    tx_t/ty_t may be a zero-arg CALLABLE returning the coord pair — traced
+    inside each cond branch, so the full coords only materialize when tiles
+    actually spill (the coord-sharing path captures just base flow + scale)."""
     tile_bad = ~jnp.all(ok_t, axis=1)
+
+    def coords():
+        return tx_t() if callable(tx_t) else (tx_t, ty_t)
 
     def fix_with_cap(cap):
         def fix(o):
+            cx, cy = coords()
             idx = jnp.nonzero(tile_bad, size=cap, fill_value=n_tiles)[0]
             safe = jnp.minimum(idx, n_tiles - 1)
             keep = (idx < n_tiles).astype(jnp.float32)
-            px = tx_t[safe].reshape(-1)
-            py = ty_t[safe].reshape(-1)
+            px = cx[safe].reshape(-1)
+            py = cy[safe].reshape(-1)
             v = (vals_t[safe] * keep[:, None, None]).reshape(-1, C)
             x0 = jnp.floor(px)
             y0 = jnp.floor(py)
@@ -1381,10 +1458,11 @@ def _tile_splat_fix(out_fast, vals_t, tx_t, ty_t, ok_t, n_tiles, H, W, C,
 
     def full(o):
         from .splat import splat_sum
+        cx, cy = coords()
         xs = jnp.arange(W, dtype=jnp.float32)
         ys = jnp.arange(H, dtype=jnp.float32)
-        tx = _tile_unflatten(tx_t[..., None], H, W)[..., 0]
-        ty = _tile_unflatten(ty_t[..., None], H, W)[..., 0]
+        tx = _tile_unflatten(cx[..., None], H, W)[..., 0]
+        ty = _tile_unflatten(cy[..., None], H, W)[..., 0]
         vals = _tile_unflatten(vals_t, H, W)
         flow = jnp.stack([tx - xs[None, :], ty - ys[:, None]], -1)
         res = splat_sum(vals[None], flow[None])[0]
@@ -1488,7 +1566,95 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
                            n_tiles, H, W, C)
 
 
-def splat_multi(problems, vals_tiled=False, planes=True):
+def _splat_multi_scaled(problems, bases, vals_tiled, planes):
+    """splat_multi with cross-problem COORD sharing: problems are
+    (vals, base_idx, scale) with target coords (x + s·base_x, y + s·base_y).
+    The launch ships the n_bases TILED flow fields once (problem p reads
+    base p % n_bases via its BlockSpec index_map — the cross-t chunk
+    pattern) plus one f32 scale per problem, and the kernel rebuilds each
+    problem's rel coords internally with the plain path's op order (equal
+    up to 1 ulp of FMA-contraction freedom — one bf16 weight rounding on
+    ~0.1% of pixels; see _splat_kernel_up). A T-chunk's 2T coord arrays
+    (~75 MB each at 4K) collapse to the 2 shared fields; spill fixups
+    rebuild coords inside their cond branches, so nothing per-t is pinned
+    across the launch."""
+    assert planes, "coord sharing is a packed-path (planes) feature"
+    n_bases = len(bases)
+    assert all(bi == p % n_bases for p, (_, bi, _) in enumerate(problems)), \
+        "coord_bases requires the cyclic problem pattern p % n_bases"
+    H, W = bases[0].shape[0], bases[0].shape[1]
+    C = problems[0][0].shape[-1]
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    fallback = (H % TILE or W % TILE or H < TILE or W < TILE
+                or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
+                or (jax.default_backend() != "tpu" and not _INTERPRET))
+    if fallback:
+        expanded = []
+        for v, bi, s in problems:
+            fl = jnp.asarray(s, jnp.float32) * bases[bi]
+            expanded.append((v, xs[None, :] + fl[..., 0],
+                             ys[:, None] + fl[..., 1]))
+        return splat_multi(expanded, vals_tiled=vals_tiled, planes=planes)
+    assert C <= CHUNK
+    cp, winx, qx = _win_geom(C, wide=False)
+    K = _pick_k(W // TILE)
+    padx = winx
+    txn = W // TILE
+    xs_t, ys_t = _tile_xy_iota(H, W)
+    bases_t = [jnp.stack([_tile_flatten(b[..., 0], H, W),
+                          _tile_flatten(b[..., 1], H, W)], axis=1)
+               for b in bases]                           # [nt, 2, N] each
+    n_tiles = xs_t.shape[0]
+    vseen, vlist, vids = {}, [], []
+    per, all_origins, scales = [], [], []
+    for vals, bi, s in problems:
+        if id(vals) not in vseen:
+            v = vals
+            if cp != C:
+                v = jnp.pad(v, ((0, 0), (0, 0), (0, cp - C)))
+            v_t = v if vals_tiled else _tile_flatten(v, H, W)
+            vseen[id(vals)] = (len(vlist), v_t)
+            vlist.append(jnp.moveaxis(v_t, 1, 2))
+        vi, vals_t = vseen[id(vals)]
+        vids.append(vi)
+        s = jnp.asarray(s, jnp.float32).reshape(())
+        # per-problem coords exist only as expressions fused into the
+        # origin/spill reductions — never a kernel input
+        tx_t = xs_t + s * bases_t[bi][:, 0]
+        ty_t = ys_t + s * bases_t[bi][:, 1]
+        oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
+        ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
+        bad = (~jnp.all(ok_t, axis=1)).astype(jnp.int32)
+        all_origins.append((ox + padx) * cp + (bad << 22))
+        scales.append(s)
+        per.append((vals_t, bi, s, ok_t))
+
+    P = len(problems)
+    n_vals = len(vlist)
+    shared = (n_vals < P and all(vi == p % n_vals
+                                 for p, vi in enumerate(vids)))
+    if shared:
+        valsT_cat = jnp.concatenate(vlist, 0) if n_vals > 1 else vlist[0]
+    else:
+        valsT_cat = jnp.concatenate([vlist[vi] for vi in vids], 0)
+    scales_arr = jnp.broadcast_to(jnp.stack(scales)[:, None], (P, 128))
+    outs = _splat_fast_planes(
+        valsT_cat, jnp.concatenate(bases_t, 0),
+        jnp.concatenate(all_origins, 0), H, W, cp, winx, K,
+        n_problems=P, n_vals=n_vals if shared else None,
+        scales=scales_arr, n_bases=n_bases)
+    results = []
+    for o, (vals_t, bi, s, ok_t) in zip(outs, per):
+        def coords_fn(bi=bi, s=s):
+            xt, yt = _tile_xy_iota(H, W)
+            return (xt + s * bases_t[bi][:, 0], yt + s * bases_t[bi][:, 1])
+        results.append(_tile_splat_fix(o, vals_t[..., :cp], coords_fn, None,
+                                       ok_t, n_tiles, H, W, cp, planes=True))
+    return results
+
+
+def splat_multi(problems, vals_tiled=False, planes=True, coord_bases=None):
     """N independent bilinear scatter-adds in ONE kernel launch.
 
     problems: list of (vals [H,W,C], tx [H,W], ty [H,W]) — same shapes.
@@ -1502,7 +1668,13 @@ def splat_multi(problems, vals_tiled=False, planes=True):
 
     vals_tiled=True: each problem's vals arrive PRE-TILED [ntiles, N, C]
     in TILE row-major order (the tiled z/vals chain skips the full-res
-    round trip); tx/ty stay plain [H, W] fields."""
+    round trip); tx/ty stay plain [H, W] fields.
+
+    coord_bases: cross-problem coordinate sharing — problems become
+    (vals, base_idx, scale) with coords (x, y) + scale·coord_bases[base_idx]
+    (see _splat_multi_scaled)."""
+    if coord_bases is not None:
+        return _splat_multi_scaled(problems, coord_bases, vals_tiled, planes)
     if vals_tiled:
         H, W = problems[0][1].shape
         C = problems[0][0].shape[-1]

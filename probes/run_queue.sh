@@ -63,6 +63,14 @@ FLDRX_BENCH_T_FUSE=1 timeout 2400 python bench.py
 L "B5. bench t_fuse + zkernel"
 FLDRX_BENCH_T_FUSE=1 FLDRX_ZKERNEL=1 timeout 2400 python bench.py
 
+L "B5b. bench t_fuse + in-kernel per-t coords (FLDRX_TCOORDS: the 2T splat
+   problems ship 2 base flow fields + t scalars instead of 2T coord
+   arrays — another ~300 MB less pinned at chunk-3/4K on top of vals
+   sharing; coords equal up to 1 ulp of FMA freedom)"
+FLDRX_BENCH_T_FUSE=1 FLDRX_TCOORDS=1 timeout 2400 python bench.py
+L "B5c. bench t_fuse + tcoords + zkernel"
+FLDRX_BENCH_T_FUSE=1 FLDRX_TCOORDS=1 FLDRX_ZKERNEL=1 timeout 2400 python bench.py
+
 L "B6. bench planes_out (host-side final unpack; ~12 ms/t device saving,
    bit-equal layout — adopt as evaluator/bench default if it wins)"
 FLDRX_BENCH_PLANES_OUT=1 timeout 2400 python bench.py

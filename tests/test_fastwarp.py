@@ -149,6 +149,70 @@ def test_splat_multi_shared_vals(data):
                                    atol=1e-5)
 
 
+def test_splat_multi_coord_sharing(data):
+    """FLDRX_TCOORDS machinery: problems given as (vals, base_idx, scale)
+    with in-kernel coord reconstruction vs the plain splat_multi on the
+    expanded coords. Same op order, but compilers may FMA-contract the
+    in-kernel (iota + s·flow), so coords carry 1 ulp of freedom → one
+    bf16 weight rounding on a ~0.1% pixel sprinkle; power-of-two scales
+    make s·flow exact → those must be BITWISE equal. Origins, spill push
+    and fixup tiers (the `big` base spills here) are shared machinery."""
+    x, small, big = data
+    H, W = 128, 192
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    v0 = x[0]
+    v1 = jnp.flip(x[0], axis=1) * 0.5
+    bases = [small[0], big[0]]
+    scaled, plain = [], []
+    # 0.5 is a power of two (exact s·flow → bitwise); 0.3/0.7 round
+    for tv in (0.3, 0.5, 0.875):
+        t = jnp.float32(tv)
+        scaled.append((v0, 0, t))
+        scaled.append((v1, 1, 1.0 - t))
+        fl0 = t * bases[0]
+        fl1 = (1.0 - t) * bases[1]
+        plain.append((v0, xs + fl0[..., 0], ys + fl0[..., 1]))
+        plain.append((v1, xs + fl1[..., 0], ys + fl1[..., 1]))
+    outs_s = fastwarp.splat_multi(scaled, coord_bases=bases)
+    outs_p = fastwarp.splat_multi(plain)
+    for p, (o_s, o_p) in enumerate(zip(outs_s, outs_p)):
+        a, b = np.asarray(o_s), np.asarray(o_p)
+        if p in (2, 3):                      # t = 0.5: exact scales
+            np.testing.assert_array_equal(a, b)
+        else:
+            # non-exact scales: 1-ulp coord freedom → bf16 weight rounding
+            # on a pixel sprinkle in the kernel; on the spilling `big` base
+            # the exact fixup recomputes whole tiles at the ulp-shifted
+            # coords (f32-level ~1e-5 diffs across the spilled region)
+            np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+def test_splat_multi_coord_sharing_tiled_vals(data):
+    """coord_bases composed with vals_tiled (the synthesize_packed_multi
+    configuration: tiled z/vals chain + in-kernel per-t coords). Power-of-
+    two scales keep s·flow exact, so this one must be bitwise."""
+    x, small, _ = data
+    H, W = 128, 192
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    v0 = fastwarp._tile_flatten(x[0], H, W)
+    v1 = fastwarp._tile_flatten(jnp.flip(x[0], axis=1) * 0.5, H, W)
+    bases = [small[0], -small[0]]
+    scaled, plain = [], []
+    for tv in (0.25, 0.5):
+        t = jnp.float32(tv)
+        scaled += [(v0, 0, t), (v1, 1, 2.0 * t)]
+        fl0 = t * bases[0]
+        fl1 = (2.0 * t) * bases[1]
+        plain += [(v0, xs + fl0[..., 0], ys + fl0[..., 1]),
+                  (v1, xs + fl1[..., 0], ys + fl1[..., 1])]
+    outs_s = fastwarp.splat_multi(scaled, vals_tiled=True, coord_bases=bases)
+    outs_p = fastwarp.splat_multi(plain, vals_tiled=True)
+    for o_s, o_p in zip(outs_s, outs_p):
+        np.testing.assert_array_equal(np.asarray(o_s), np.asarray(o_p))
+
+
 def test_splat_multi_plain_matches_single(data):
     """planes=False: the multi-problem strip sweep emits PLAIN rows (per-
     problem segments with boundary drains) — must equal per-problem

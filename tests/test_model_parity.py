@@ -206,6 +206,40 @@ def test_synthesize_packed_planes_out_is_pure_layout():
             np.asarray(out_p), planes_to_plain_np(np.asarray(out_q)))
 
 
+def test_synthesize_packed_tcoords_matches():
+    """FLDRX_TCOORDS=1 (in-kernel per-t splat coords in the cross-t fused
+    chunk) vs the per-t coord arrays: equal up to 1 ulp of FMA-contraction
+    freedom on the coords — here on the CPU fallback the coords expand to
+    the identical expressions, so outputs must match to float-roundoff."""
+    import os
+
+    import jax
+    from fldrx.model.fldrnet import (flow_extras, init_params,
+                                     synthesize_packed_multi)
+
+    cfg = papermodel().replace(fast_warp=True, packed_synth=True)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(13)
+    B, H, W = 1, 256, 320
+    images = jnp.asarray((rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32))
+    flow_l = jnp.asarray((rng.rand(B, H // 8, W // 8, 4) * 6 - 3)
+                         .astype(np.float32))
+    extras = flow_extras(params, cfg, flow_l, images)
+    ts = [jnp.full((B, 1), tv, jnp.float32) for tv in (0.25, 0.625)]
+    base = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
+                                   precomputed=extras)
+    os.environ["FLDRX_TCOORDS"] = "1"
+    try:
+        alt = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
+                                      precomputed=extras)
+    finally:
+        os.environ.pop("FLDRX_TCOORDS", None)
+    for (out_b, fr_b, _, _), (out_a, fr_a, _, _) in zip(base, alt):
+        np.testing.assert_array_equal(np.asarray(fr_b), np.asarray(fr_a))
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                                   atol=1e-5)
+
+
 def test_synthesize_packed_blend24_matches():
     """FLDRX_BLEND24=1 (softmax kept on the 24-ch minor: stability max
     over all 24 — constant within each group of 6 — and the group
