@@ -240,6 +240,42 @@ def test_synthesize_packed_tcoords_matches():
                                    atol=1e-5)
 
 
+def test_synthesize_packed_composed_gates_match():
+    """The bench's composed candidate config (t_fuse chunk + planes_out +
+    TCOORDS + BLEND24 together) vs the plain multi-t chunk: individual
+    equivalences don't cover interactions."""
+    import os
+
+    import jax
+    from fldrx.model.fldrnet import (flow_extras, init_params,
+                                     synthesize_packed_multi)
+    from fldrx.ops.repack import planes_to_plain_np
+
+    cfg = papermodel().replace(fast_warp=True, packed_synth=True)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(17)
+    B, H, W = 1, 256, 320
+    images = jnp.asarray((rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32))
+    flow_l = jnp.asarray((rng.rand(B, H // 8, W // 8, 4) * 6 - 3)
+                         .astype(np.float32))
+    extras = flow_extras(params, cfg, flow_l, images)
+    ts = [jnp.full((B, 1), tv, jnp.float32) for tv in (0.375, 0.875)]
+    base = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
+                                   precomputed=extras)
+    os.environ["FLDRX_TCOORDS"] = "1"
+    os.environ["FLDRX_BLEND24"] = "1"
+    try:
+        alt = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
+                                      precomputed=extras, planes_out=True)
+    finally:
+        os.environ.pop("FLDRX_TCOORDS", None)
+        os.environ.pop("FLDRX_BLEND24", None)
+    for (out_b, _, _, _), (out_a, _, _, _) in zip(base, alt):
+        np.testing.assert_allclose(
+            np.asarray(out_b), planes_to_plain_np(np.asarray(out_a)),
+            atol=1e-5)
+
+
 def test_synthesize_packed_blend24_matches():
     """FLDRX_BLEND24=1 (softmax kept on the 24-ch minor: stability max
     over all 24 — constant within each group of 6 — and the group
