@@ -7,7 +7,10 @@ Three measurements (run on TPU unless --cpu):
      PSNR of each against the other on naturalistic moving content.
   3. bf16 compute (UNet + flow path) vs f32, same content.
 
-Writes/updates PARITY.md. Usage: python tools_parity.py [--skip-oracle]
+Writes PARITY_gen.md (PARITY.md is hand-maintained and carries golden-clip
+tables + deviation-class notes this tool does not regenerate — pass
+--write-parity to overwrite it anyway). Usage:
+python -m fldrx.tools.parity_report [--skip-oracle] [--write-parity]
 """
 import sys
 import time
@@ -130,9 +133,10 @@ def main():
     ]
     print(f"fast32 vs strict: {p_fast:.2f} dB; bf16 vs strict: {p_bf16:.2f}")
 
-    with open("PARITY.md", "w") as f:
+    out = "PARITY.md" if "--write-parity" in sys.argv else "PARITY_gen.md"
+    with open(out, "w") as f:
         f.write("\n".join(lines))
-    print("PARITY.md written")
+    print(f"{out} written")
 
 
 if __name__ == "__main__":
