@@ -21,6 +21,8 @@ if [ -n "$QUICK" ]; then
   FLDRX_PIPE_BF16=1 FLDRX_GWIN=group FLDRX_ZKERNEL=1 timeout 2400 python bench.py
   L "Q4. bench planes_out+flow_fused+u8 (on top of whatever won above: rerun manually)"
   FLDRX_BENCH_PLANES_OUT=1 FLDRX_FLOW_FUSED=1 FLDRX_BENCH_U8=1 timeout 2400 python bench.py
+  L "Q5. bench t_fuse+tcoords+zkernel+blend24 (the cross-t composition)"
+  FLDRX_BENCH_T_FUSE=1 FLDRX_TCOORDS=1 FLDRX_ZKERNEL=1 FLDRX_BLEND24=1 timeout 2400 python bench.py
   L "quick queue complete"
   exit 0
 fi
