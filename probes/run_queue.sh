@@ -23,6 +23,8 @@ if [ -n "$QUICK" ]; then
   FLDRX_BENCH_PLANES_OUT=1 FLDRX_FLOW_FUSED=1 FLDRX_BENCH_U8=1 timeout 2400 python bench.py
   L "Q5. bench t_fuse+tcoords+zkernel+blend24 (the cross-t composition)"
   FLDRX_BENCH_T_FUSE=1 FLDRX_TCOORDS=1 FLDRX_ZKERNEL=1 FLDRX_BLEND24=1 timeout 2400 python bench.py
+  L "Q6. bench resize stencil (pyramid/flow-upsample constant-tap path)"
+  FLDRX_RESIZE_STENCIL=1 timeout 2400 python bench.py
   L "quick queue complete"
   exit 0
 fi
@@ -79,6 +81,11 @@ FLDRX_BENCH_PLANES_OUT=1 timeout 2400 python bench.py
 
 L "B7. bench u8 ingestion (4x less H2D; device-side normalize)"
 FLDRX_BENCH_U8=1 timeout 2400 python bench.py
+
+L "B8. bench resize stencil (integer-factor resizes as <=4 strided-slice
+   VPU multiply-adds instead of dense C/128-lane-util matmuls — pyramid
+   ~58 ms/pair + flow upsamples; <=1 ulp, tests pin it)"
+FLDRX_RESIZE_STENCIL=1 timeout 2400 python bench.py
 
 L "C1. group K=16"
 FLDRX_GWIN=group FLDRX_GK=16 timeout 1200 python -u probes/gwprobe.py
