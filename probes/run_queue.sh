@@ -107,4 +107,25 @@ done
 L "D. goldenclip quality gate for PIPE_BF16 (only meaningful if A4/A5 won)"
 FLDRX_PIPE_BF16=1 timeout 3600 python -u -m fldrx.tools.goldenclip_report || true
 
+# Composed-candidate benches: the per-knob deltas above don't compose
+# linearly (HBM pinning, scheduler pressure) — measure the three most
+# likely adoption bundles directly so a default flip can cite a composed
+# number even if the relay window closes right after.
+L "E1. bench composed independent winners (group+zkernel+flow_fused+planes_out+u8+stencil)"
+FLDRX_GWIN=group FLDRX_ZKERNEL=1 FLDRX_FLOW_FUSED=1 \
+  FLDRX_BENCH_PLANES_OUT=1 FLDRX_BENCH_U8=1 FLDRX_RESIZE_STENCIL=1 \
+  timeout 2400 python bench.py
+L "E2. bench E1 + pipe_bf16 + blend24"
+FLDRX_GWIN=group FLDRX_ZKERNEL=1 FLDRX_FLOW_FUSED=1 \
+  FLDRX_BENCH_PLANES_OUT=1 FLDRX_BENCH_U8=1 FLDRX_RESIZE_STENCIL=1 \
+  FLDRX_PIPE_BF16=1 FLDRX_BLEND24=1 timeout 2400 python bench.py
+L "E3. bench E1 + t_fuse + tcoords + blend24"
+FLDRX_GWIN=group FLDRX_ZKERNEL=1 FLDRX_FLOW_FUSED=1 \
+  FLDRX_BENCH_PLANES_OUT=1 FLDRX_BENCH_U8=1 FLDRX_RESIZE_STENCIL=1 \
+  FLDRX_BENCH_T_FUSE=1 FLDRX_TCOORDS=1 FLDRX_BLEND24=1 \
+  timeout 2400 python bench.py
+
+L "F. perfprobe2 per-stage refresh (PROFILE.md table source)"
+timeout 2400 python -u -m fldrx.tools.perfprobe2 || true
+
 L "queue complete"
