@@ -137,12 +137,14 @@ def _bwarp_global(x_slab: jnp.ndarray, flow_slab: jnp.ndarray,
     return jnp.stack(outs, 0)
 
 
-def _field_pack(params, cfg: FLDRConfig, flow, frames, t):
-    """All full-res per-t fields the level-0 synthesis needs, as one
+def _field_pack_t(cfg: FLDRConfig, flow, frames, flow_10, flow_01,
+                  z0, z1, t):
+    """The t-DEPENDENT full-res fields of the level-0 synthesis, as one
     [B, H, W, 16] tensor: x0(3) x1(3) flow_t0(2) flow_t1(2) z0 z1 fb0(2)
-    fb1(2). Pure XLA (resizes + low-res flowback composition + z metrics),
-    so it shards over 'sp' under the SPMD partitioner."""
-    from ..model.fldrnet import z_metrics
+    fb1(2). flow_10/flow_01/z0/z1 come precomputed from `_prep_pair`
+    (t-independent, hoisted out of the ×8 per-t loop — VERDICT r3 item 4).
+    Pure XLA (t-scales + low-res flowback composition), so it shards over
+    'sp' under the SPMD partitioner."""
     from ..ops.resize import resize_2d
     from ..ops.warp import bwarp as bw_exact
 
@@ -157,11 +159,8 @@ def _field_pack(params, cfg: FLDRConfig, flow, frames, t):
     flow = flow.astype(jnp.float32)
     x0 = frames[:, 0].astype(jnp.float32)
     x1 = frames[:, 1].astype(jnp.float32)
-    flow_10 = up(flow[..., 0:2])
-    flow_01 = up(flow[..., 2:4])
     flow_t0 = tb * flow_01
     flow_t1 = (1.0 - tb) * flow_10
-    z0, z1 = z_metrics(params["vfinet"], x0, x1, flow_10, flow_01, fast=False)
     if min(flow.shape[1], flow.shape[2]) >= 96:
         # low-res composition + full-res analytic mask — must mirror the
         # unsharded fast path's gating (model/fldrnet.py synthesize)
@@ -238,21 +237,33 @@ def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
 
     Shard-spill safety: the fast path is exact only for horizontal
     displacements within halo − TILE px of a shard edge; beyond that the
-    slab resolves to zero-fill. The jitted program therefore also returns
-    the frame's max horizontal displacement (a cheap max-reduce over every
-    field the shard_map warps consume), and `call` reacts per frame:
+    slab resolves to zero-fill. The per-t jitted program therefore also
+    returns the frame's max horizontal displacement (a cheap max-reduce over
+    every field the shard_map warps consume), and `call` reacts per frame:
       on_spill='exact' — rerun that frame through the pjit exact path
                          (XLA-partitioned warps; slow but exact at any
                          motion), like the single-chip engine's spill
                          tiers (ops/fastwarp.py discipline);
       on_spill='warn'  — keep the fast result, print a loud warning.
+
+    The work is split per PAIR vs per T (VERDICT r3 item 4 — the ×8
+    protocol must not pay the flow stage 7×): `prep` computes pad → pyramid
+    → flow → full-res endpoint flows → z metrics ONCE per pair (flow runs
+    the fast warp engine, replicated per device under shard_map, since the
+    Pallas kernels have no SPMD partitioning rule and the flow stage is 64×
+    smaller than synthesis); the per-t program only t-scales flows, composes
+    the low-res flowbacks and runs the shard_map synthesis. The returned
+    `call(frames, t)` keeps the single-t signature; `call.multi(frames,
+    t_values)` runs all t's on one prep (the evaluator-bridge path).
+    `call.n_flow_runs` counts prep executions (tests assert hoisting).
     """
-    from ..model.fldrnet import forward_flow
+    from ..model.fldrnet import forward_flow, z_metrics
+    from ..ops.resize import resize_2d
 
     nsp = mesh.shape["sp"]
     assert halo % TILE_ALIGN == 0
 
-    def fn(params, frames, t):
+    def prep_fn(params, frames):
         ph = pad_amount(frames.shape[2], cfg.div_pad)
         pw = pad_amount(frames.shape[3], cfg.div_pad)
         if ph or pw:
@@ -262,8 +273,32 @@ def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
         H, W = frames.shape[2], frames.shape[3]
         assert W % (nsp * TILE_ALIGN) == 0, (W, nsp)
         pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
-        flow = forward_flow(params, cfg.replace(fast_warp=False), pyr)
-        pack = _field_pack(params, cfg, flow, frames, t)
+        if getattr(cfg, "fast_warp", False):
+            # Pallas warp engine for the flow recurrence: replicated
+            # per-device shard_map (no comms; flow is 64× smaller than
+            # synthesis, so redundant compute beats a scalarized XLA warp)
+            n_in = 1 + len(pyr)
+            flow = shard_map(
+                lambda pr, *pyr_l: forward_flow(pr, cfg, list(pyr_l)),
+                mesh=mesh, in_specs=(P(),) * n_in, out_specs=P(),
+                check_rep=False)(params, *pyr)
+        else:
+            flow = forward_flow(params, cfg, pyr)
+        flow = flow.astype(jnp.float32)
+        x0 = frames[:, 0].astype(jnp.float32)
+        x1 = frames[:, 1].astype(jnp.float32)
+        upscale = H // flow.shape[1]
+        flow_10 = upscale * resize_2d(flow[..., 0:2], (H, W), "bilinear")
+        flow_01 = upscale * resize_2d(flow[..., 2:4], (H, W), "bilinear")
+        # z metrics are t-independent (fLDRnet.py:439-446); exact XLA form
+        # so they shard over 'sp' under the SPMD partitioner
+        z0, z1 = z_metrics(params["vfinet"], x0, x1, flow_10, flow_01,
+                           fast=False)
+        return flow, frames, flow_10, flow_01, z0, z1
+
+    def synth_fn(params, frames, flow, flow_10, flow_01, z0, z1, t):
+        W = frames.shape[3]
+        pack = _field_pack_t(cfg, flow, frames, flow_10, flow_01, z0, z1, t)
         # max horizontal reach of the shard_map warps: splat targets move
         # by flow_t*; gather samples by fb* (+2 px margin for the global
         # p·S/(S−1)−0.5 sampling shift)
@@ -281,19 +316,25 @@ def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
         )
         return synth(pack, t), max_disp
 
-    jitted = jax.jit(fn)
+    prep_jit = jax.jit(prep_fn)
+    synth_jit = jax.jit(synth_fn)
     exact_call = [None]
+    counters = {"n_flow_runs": 0, "n_spill_fallbacks": 0}
 
-    def call(frames, t):
-        H, W = frames.shape[2], frames.shape[3]
-        fr = jax.device_put(
-            jnp.asarray(frames, jnp.float32),
-            NamedSharding(mesh, P(None, None, None, "sp", None)))
-        tt = jax.device_put(jnp.asarray(t, jnp.float32).reshape(-1, 1),
+    def _prep(frames):
+        fr = jax.device_put(jnp.asarray(frames, jnp.float32),
                             NamedSharding(mesh, P()))
         pr = jax.device_put(params, NamedSharding(mesh, P()))
-        out, max_disp = jitted(pr, fr, tt)
+        counters["n_flow_runs"] += 1
+        return pr, prep_jit(pr, fr)
+
+    def _synth_one(pr, prep, frames, t, H, W):
+        flow, padded, f10, f01, z0, z1 = prep
+        tt = jax.device_put(jnp.asarray(t, jnp.float32).reshape(-1, 1),
+                            NamedSharding(mesh, P()))
+        out, max_disp = synth_jit(pr, padded, flow, f10, f01, z0, z1, tt)
         if float(max_disp) > halo - TILE_ALIGN:
+            counters["n_spill_fallbacks"] += 1
             if on_spill == "exact":
                 if verbose:
                     print(f"# sharded fast eval: motion {float(max_disp):.0f}"
@@ -313,6 +354,25 @@ def make_sharded_fast_eval(params, cfg: FLDRConfig, mesh: Mesh,
                   f"(on_spill='warn')", flush=True)
         return out[:, :H, :W]
 
+    def call(frames, t):
+        H, W = frames.shape[2], frames.shape[3]
+        pr, prep = _prep(frames)
+        return _synth_one(pr, prep, frames, t, H, W)
+
+    def multi(frames, t_values):
+        """One flow prep for the whole pair, then per-t synthesis
+        (the ×8 protocol's evaluator-bridge path). Returns [T, H, W, 3]
+        stacked over the pair's B=1 frames."""
+        H, W = frames.shape[2], frames.shape[3]
+        pr, prep = _prep(frames)
+        outs = [_synth_one(pr, prep, frames,
+                           np.full((frames.shape[0], 1), tv, np.float32),
+                           H, W)
+                for tv in t_values]
+        return jnp.concatenate([o for o in outs], 0)
+
+    call.multi = multi
+    call.counters = counters
     return call
 
 
@@ -411,8 +471,8 @@ def build_parallel_eval(params, cfg: FLDRConfig, mode: str = "t",
         call = make_sharded_fast_eval(params, cfg, mesh, halo=halo)
 
         def fn(frames, t_values):
+            # flow/pyramid/z computed ONCE per pair (call.multi), not per t
             with mesh:
-                return _np.concatenate(
-                    [_np.asarray(call(frames, [[tv]])) for tv in t_values], 0)
+                return _np.asarray(call.multi(frames, list(t_values)))
         return fn
     raise ValueError(f"unknown parallel-eval mode: {mode!r}")

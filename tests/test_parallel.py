@@ -98,6 +98,19 @@ def test_sharded_fast_eval_matches_unsharded():
         assert d.mean() < 2e-3, d.mean()
         assert np.mean(d > 5e-2) < 5e-4, np.mean(d > 5e-2)
         assert d.max() < 0.3, d.max()
+
+        # multi-t path: ONE flow/prep per pair (VERDICT r3 item 4 — the ×8
+        # protocol must not pay the flow stage per t), same per-t results
+        ts = [0.25, 0.5, 0.75]
+        base_runs = call.counters["n_flow_runs"]
+        with mesh:
+            multi = np.asarray(call.multi(frames, ts))
+        assert call.counters["n_flow_runs"] == base_runs + 1
+        with mesh:
+            singles = np.concatenate(
+                [np.asarray(call(frames, np.full((1, 1), tv, np.float32)))
+                 for tv in ts], 0)
+        np.testing.assert_allclose(multi, singles, atol=1e-6)
     finally:
         os.environ.pop("FLDRX_PALLAS_INTERPRET", None)
         importlib.reload(fastwarp)
