@@ -289,3 +289,45 @@ def test_pyramid_dump(tmp_path):
     from PIL import Image
     img = Image.open(str(p))
     assert img.size[1] == 64          # one row of 64px-high tiles
+
+
+def test_train_step_mesh_matches_single_device():
+    """Explicit multi-chip train shardings (VERDICT r3 weak #4): the mesh
+    step pins params/opt-state replicated and the batch over (dp, sp), and
+    must produce the same params/metrics as the single-device step."""
+    from fldrx.parallel.mesh import make_mesh, replicate, shard_batch
+
+    cfg = papermodel().replace(
+        phase="train", S_tst=1, S_trn=1, batch_size=4,
+        fast_warp_train=False)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    B, H, W = 4, 64, 64
+    batch = {
+        "frames": (rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32),
+        "target": (rng.rand(B, H, W, 3) * 2 - 1).astype(np.float32),
+        "t": np.full((B, 1), 0.5, np.float32),
+    }
+
+    state0 = TrainState.create(params, cfg)
+    step1 = make_train_step(cfg, donate=False)
+    s_ref, m_ref = step1(state0, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    mesh = make_mesh(jax.devices()[:8], dp=4, sp=2)
+    state0b = TrainState.create(params, cfg)
+    stepm = make_train_step(cfg, mesh, donate=False)
+    with mesh:
+        s_got, m_got = stepm(replicate(mesh, state0b),
+                             shard_batch(mesh, batch))
+
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_got[k]), float(m_ref[k]),
+                                   rtol=2e-4, atol=2e-5)
+    ref_leaves = jax.tree_util.tree_leaves(s_ref.params)
+    got_leaves = jax.tree_util.tree_leaves(s_got.params)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+    # outputs must be pinned replicated (no silent resharding of params)
+    for leaf in jax.tree_util.tree_leaves(s_got.params):
+        assert leaf.sharding.is_fully_replicated, leaf.sharding
