@@ -80,11 +80,18 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
              stop_at: int = -1, save_dir: Optional[str] = None,
              verbose: bool = True, half_res: bool = False,
              jump_to: int = -1, compute_metrics: bool = True,
-             xvfi_psnr: bool = False,
+             xvfi_psnr: bool = False, save_flow: bool = False,
              parallel_eval=None) -> EvalResult:
     """compute_metrics=False is the reference's test_custom phase
     (main.py:891: predictions written, no PSNR/SSIM — no GT assumed);
     xvfi_psnr selects the XVFI RMSE formula (--XVFIPSNR, utils.py:644-659).
+
+    save_flow (with save_dir): writes test-time prediction-flow dumps —
+    the colorwheel image of the ×8-bicubic-upsampled level-0 flow and the
+    |gray(pred)−gray(gt)| difference image per target, under
+    <save_dir>/<dataset>/Test_flow_preds/<scene>/ — matching the
+    reference's get_test_pred_flow dump (main.py:929-952,
+    utils.py:998-1022; flow channels [0:2] = the t→0 direction).
 
     parallel_eval: optional multi-chip callable
     (frames [1,2,H,W,3], t_values) → [T, H, W, 3] built by
@@ -108,7 +115,7 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     pool = ThreadPoolExecutor(max_workers=4)
     metric_q: List = []
 
-    def metrics_job(frames, t, scene, pred):
+    def metrics_job(frames, t, scene, pred, flow_fut=None):
         if pred.shape[-1] != 3:       # cfg.planes_out: u-plane form — the
             # unpack (one memcpy) rides this worker thread instead of
             # costing ~12 ms/t of device interleave DMAs
@@ -134,6 +141,23 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
             os.makedirs(d, exist_ok=True)
             Image.fromarray(out_img[..., ::-1].astype(np.uint8)).save(
                 os.path.join(d, f"{t:.4f}.png"))
+            if save_flow:
+                # Test_flow_preds dump (main.py:940-947): flow colorwheel +
+                # gray-difference image per target. Gray weights follow the
+                # reference's channel-order quirk (utils.py:1007-1008:
+                # 0.2989/0.5870/0.1140 applied to BGR as stored).
+                fd = os.path.join(save_dir, dataset_name, "Test_flow_preds",
+                                  scene.replace(os.sep, "_"))
+                os.makedirs(fd, exist_ok=True)
+                if flow_fut is not None:
+                    Image.fromarray(flow_fut.result()).save(
+                        os.path.join(fd, f"flow{t:.4f}.png"))
+                if compute_metrics:
+                    w = np.array([0.2989, 0.5870, 0.1140], np.float32)
+                    diff = np.abs(out_img @ w - tgt_img @ w)
+                    diff = np.clip(diff, 0, 255).astype(np.uint8)
+                    Image.fromarray(np.repeat(diff[..., None], 3, -1)).save(
+                        os.path.join(fd, f"diff{t:.4f}.png"))
         return p, s, rec
 
     def drain(limit=0):
@@ -158,9 +182,9 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     # cfg.t_chunk (sweep results in config.py)
     tchunk = max(1, cfg.t_chunk)
 
-    def process_item(idx, frames, t, scene, pred):
+    def process_item(idx, frames, t, scene, pred, flow_fut=None):
         metric_q.append((idx, t, pool.submit(metrics_job, frames, t, scene,
-                                             pred)))
+                                             pred, flow_fut)))
         drain(limit=24)               # bound queued predictions (~25 MB ea)
 
     pending: List = []          # buffered (idx, frames, t, scene) of one pair
@@ -198,7 +222,7 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         return _metfn[0](out[:, 0], tgts)
 
     def finish(entry):
-        items, outs, t0, mets = entry
+        items, outs, t0, mets, flow_fut = entry
         if mets is not None and all(m is not None for m in mets):
             flat = [(float(p), float(s))
                     for ps, ss in mets
@@ -216,7 +240,7 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
         dt = (time.time() - t0) / len(items)
         for (idx, frames, t, scene), pred in zip(items, preds):
             pred_time.update(dt)
-            process_item(idx, frames, t, scene, pred)
+            process_item(idx, frames, t, scene, pred, flow_fut)
 
     def finish_all():
         while deferred:
@@ -233,9 +257,23 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
             # parallel_eval returns [T, H, W, 3]: normalize to chunk shape
             entry = (list(pending),
                      [np.asarray(parallel_eval(inputs, ts))[:, None]], t0,
-                     None)
+                     None, None)
         else:
             flow, padded, extras = interp.precompute_flow(inputs)
+            flow_fut = None
+            if save_flow and save_dir:
+                # render the pair's flow colorwheel on a worker thread:
+                # ×upscale bicubic upsample of the t→0 channels, cropped to
+                # the original size (main.py:934-937 flowMul·interpolate)
+                import jax.numpy as jnp
+                from ..ops.resize import resize_2d
+                from .visualize import flow_to_image
+                Hp, Wp = padded.shape[2], padded.shape[3]
+                up = Hp // flow.shape[1]
+                fl = up * resize_2d(flow[:1, ..., 0:2].astype(jnp.float32),
+                                    (Hp, Wp), "bicubic", cfg.align_corners)
+                flow_fut = pool.submit(
+                    lambda a: flow_to_image(np.asarray(a)[0, :H, :W]), fl)
             outs = [interp.synthesize_multi_at(flow, padded,
                                                ts[k:k + tchunk],
                                                (H, W), extras)
@@ -246,7 +284,7 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
                 mets = [chunk_metrics(out, items_l[k:k + tchunk])
                         for out, k in zip(outs,
                                           range(0, len(ts), tchunk))]
-            entry = (list(pending), outs, t0, mets)
+            entry = (list(pending), outs, t0, mets, flow_fut)
         pending.clear()
         deferred.append(entry)
         while len(deferred) > (1 if defer else 0):

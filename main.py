@@ -49,6 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--XVFIPSNR", action="store_true",
                    help="XVFI RMSE-based PSNR formula (reference main.py:169)")
     p.add_argument("--save_images", action="store_true")
+    p.add_argument("--testgetflowout", action="store_true",
+                   help="with --save_images: also dump per-target flow "
+                        "colorwheel + gray-diff images (reference "
+                        "main.py:112,929-952 / utils.py:998-1022)")
     p.add_argument("--no_validation", action="store_true")
     p.add_argument("--checkpoint_dir", type=str, default="./checkpoint_dir")
     p.add_argument("--text_dir", type=str, default="./text_dir")
@@ -171,7 +175,7 @@ def main(argv=None):
                        jump_to=args.jumptotest,
                        compute_metrics=not custom, xvfi_psnr=args.XVFIPSNR,
                        save_dir=cfg.log_dir if (args.save_images or custom)
-                       else None,
+                       else None, save_flow=args.testgetflowout,
                        parallel_eval=parallel_eval)
         line = f"Final 4k frames PSNR {name} : {res.psnr:.4}"
         print(line + f"  (SSIM {res.ssim:.4f}, {res.frames_per_sec:.2f} fps)")

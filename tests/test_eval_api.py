@@ -122,6 +122,16 @@ def test_evaluator_on_synthetic_dataset(tmp_path):
     assert res.n_samples == 1
     assert np.isfinite(res.psnr) and np.isfinite(res.ssim)
     assert res.frames_per_sec > 0
+    # eval-time flow dumps (reference get_test_pred_flow, utils.py:998-1022)
+    save = tmp_path / "dumps"
+    res2 = evaluate(interp, cfg, "X4K1000FPS", multiple=2, verbose=False,
+                    save_dir=str(save), save_flow=True)
+    np.testing.assert_allclose(res2.psnr, res.psnr, rtol=1e-6)
+    fd = save / "X4K1000FPS" / "Test_flow_preds" / "Type1_TEST01_"
+    assert (fd / "flow0.5000.png").exists()
+    assert (fd / "diff0.5000.png").exists()
+    img = np.asarray(Image.open(fd / "flow0.5000.png"))
+    assert img.shape == (64, 64, 3)
 
 
 def test_evaluator_deferred_pipeline_matches(tmp_path, monkeypatch):
