@@ -51,8 +51,28 @@ _DISCS = [
 _BG_VEL = (-0.0058, +0.0023)      # background pan (fraction of W per unit t)
 
 
-def render_golden(H: int, W: int, t: float) -> np.ndarray:
-    """Render the golden scene at time t ∈ [0, 1] → [H, W, 3] f32 in [-1,1]."""
+def render_golden(H: int, W: int, t: float, family: str = "pan") -> np.ndarray:
+    """Render a golden scene at time t ∈ [0, 1] → [H, W, 3] f32 in [-1,1].
+
+    Families (VERDICT r3 weak #7 — the quality gate needs more than one
+    content class; each is fully analytic so GT is exact at any t):
+      pan    — textured background pan + occluding textured discs (the
+               original fixture: occlusion/disocclusion + large motion)
+      affine — rotation + zoom + shear about the centre (+ a moving disc):
+               spatially VARYING flow, the case the low-res flowback and
+               spill tiers never see from pure pans
+      thin   — moving thin textured bars at several angles over a slow
+               pan: thin-structure destruction under splat spreading
+      flat   — low-frequency low-amplitude gradients, slow pan: banding /
+               precision sensitivity (bf16 quality canary)
+    """
+    if family == "affine":
+        return _render_affine(H, W, t)
+    if family == "thin":
+        return _render_thin(H, W, t)
+    if family == "flat":
+        return _render_flat(H, W, t)
+    assert family == "pan", family
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
     sc = 768.0 / W                     # geometry-invariant texture frequency
     out = None
@@ -82,21 +102,127 @@ def render_golden(H: int, W: int, t: float) -> np.ndarray:
     return out.astype(np.float32)
 
 
-def golden_pair(H: int, W: int, multiple: int = 8):
+def _render_affine(H: int, W: int, t: float) -> np.ndarray:
+    """Rotation + zoom + shear of the background about the image centre,
+    plus one independently moving occluding disc. Far-corner displacement
+    ≈ 55 px at 4K (within the pan family's large-motion envelope)."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    sc = 768.0 / W
+    cx, cy = W / 2.0, H / 2.0
+    ang, zoom, shear = 0.012 * t, 1.0 + 0.014 * t, 0.008 * t
+    ca, sa = np.cos(ang), np.sin(ang)
+    # forward map M = zoom·R(ang)·Shear; sample the texture at M⁻¹·(p−c)
+    m00, m01 = zoom * ca, zoom * (ca * shear - sa)
+    m10, m11 = zoom * sa, zoom * (sa * shear + ca)
+    det = m00 * m11 - m01 * m10
+    i00, i01, i10, i11 = m11 / det, -m01 / det, -m10 / det, m00 / det
+    dx, dy = xx - cx, yy - cy
+    u = i00 * dx + i01 * dy
+    v = i10 * dx + i11 * dy
+    chans = []
+    for c in range(3):
+        ph = [(fx, fy, px + 0.7 * c, py + 1.3 * c, a)
+              for fx, fy, px, py, a in _BG_PHASES]
+        chans.append(_texture(u * sc, v * sc, ph))
+    out = np.stack(chans, -1)
+
+    edge = max(1.5, W / 512.0)
+    cx_d, cy_d, r, vx, vy = 0.35, 0.55, 0.09, +0.0125, -0.0050
+    px = (cx_d + vx * t) * W
+    py = (cy_d + vy * t * (W / H)) * H
+    d = np.sqrt((xx - px) ** 2 + (yy - py) ** 2)
+    alpha = np.clip((r * W - d) / edge, 0.0, 1.0)[..., None]
+    chans = [_texture((xx - px) * sc, (yy - py) * sc,
+                      [(fx, fy, p0 + 0.9 * c, p1 + 0.5 * c, a)
+                       for fx, fy, p0, p1, a in _FG_PHASES[0]])
+             for c in range(3)]
+    return (out * (1 - alpha)
+            + np.stack(chans, -1) * alpha).astype(np.float32)
+
+
+# (angle_rad, start_offset, normal_velocity, half_width) — offsets and
+# velocity as fractions of W; half_width as a fraction of W, floored at
+# ~1.5 px so the bars stay genuinely thin at test resolution
+_BARS = [
+    (0.35, 0.30, +0.0120, 0.0040),
+    (1.25, 0.55, -0.0095, 0.0022),
+    (2.10, 0.10, +0.0080, 0.0013),
+    (2.80, 0.75, -0.0135, 0.0030),
+]
+
+
+def _render_thin(H: int, W: int, t: float) -> np.ndarray:
+    """Thin textured bars sweeping along their normals over a slowly
+    panning background — splat spreading / hole-filling destroys thin
+    structures first, so this family guards them explicitly."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    sc = 768.0 / W
+    bx, by = 0.25 * _BG_VEL[0] * W * t, 0.25 * _BG_VEL[1] * W * t
+    chans = []
+    for c in range(3):
+        ph = [(fx, fy, px + 0.7 * c, py + 1.3 * c, 0.6 * a)
+              for fx, fy, px, py, a in _BG_PHASES]
+        chans.append(_texture((xx - bx) * sc, (yy - by) * sc, ph))
+    out = np.stack(chans, -1)
+    edge = max(1.0, W / 1024.0)
+    for i, (ang, off0, vel, hw) in enumerate(_BARS):
+        nx, ny = np.cos(ang), np.sin(ang)
+        d = np.abs(xx * nx + yy * ny - (off0 + vel * t) * W)
+        halfw = max(1.5, hw * W)
+        alpha = np.clip((halfw - d) / edge, 0.0, 1.0)[..., None]
+        phases = _FG_PHASES[i % len(_FG_PHASES)]
+        along = xx * (-ny) + yy * nx       # texture varies along the bar
+        chans = [_texture(along * sc, d * sc,
+                          [(fx, fy, p0 + 0.9 * c + i, p1 + 0.5 * c, a)
+                           for fx, fy, p0, p1, a in phases])
+                 for c in range(3)]
+        out = out * (1 - alpha) + np.stack(chans, -1) * alpha
+    return out.astype(np.float32)
+
+
+def _render_flat(H: int, W: int, t: float) -> np.ndarray:
+    """Slowly panning low-frequency, low-amplitude gradients plus one soft
+    radial bump — no texture to hide behind, so precision loss (bf16
+    rounding, resize ringing) reads directly as banding here."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    u = (xx - 0.0100 * W * t) / W
+    v = (yy - 0.0040 * W * t) / H
+    two_pi = 2 * np.pi
+    chans = []
+    for c in range(3):
+        g = (0.45 * np.sin(two_pi * (0.70 * u + 0.40 * v) + 0.9 * c)
+             + 0.22 * np.cos(two_pi * (0.30 * u - 0.55 * v) + 0.4 * c)
+             + 0.12 * np.sin(two_pi * (1.10 * u + 0.90 * v) + 1.7 * c))
+        chans.append(g)
+    out = np.stack(chans, -1)
+    # soft radial highlight drifting against the pan
+    px, py = (0.45 - 0.0080 * t) * W, (0.50 + 0.0055 * t * (W / H)) * H
+    r2 = ((xx - px) ** 2 + (yy - py) ** 2) / (0.18 * W) ** 2
+    out = out + 0.28 * np.exp(-r2)[..., None]
+    # fixed normalizer (sum of component amplitudes): a data-dependent max
+    # would pump global brightness between frames as the scene pans
+    return (0.8 * out / 1.07).astype(np.float32)
+
+
+GOLDEN_FAMILIES = ("pan", "affine", "thin", "flat")
+
+
+def golden_pair(H: int, W: int, multiple: int = 8, family: str = "pan"):
     """Returns (frames [1,2,H,W,3], t_values [multiple-1], gts [T,H,W,3])."""
-    f0 = render_golden(H, W, 0.0)
-    f1 = render_golden(H, W, 1.0)
+    f0 = render_golden(H, W, 0.0, family)
+    f1 = render_golden(H, W, 1.0, family)
     ts = np.linspace(1 / multiple, 1 - 1 / multiple, multiple - 1)
-    gts = np.stack([render_golden(H, W, float(t)) for t in ts], 0)
+    gts = np.stack([render_golden(H, W, float(t), family) for t in ts], 0)
     return np.stack([f0, f1], 0)[None], ts, gts
 
 
-def golden_psnrs(interp, H: int, W: int, multiple: int = 8):
+def golden_psnrs(interp, H: int, W: int, multiple: int = 8,
+                 family: str = "pan"):
     """Run the ×N protocol on the golden pair and return per-t PSNRs (dB,
     data_range=255 like the benchmark protocol) plus their mean."""
     from ..ops import metrics
 
-    frames, ts, gts = golden_pair(H, W, multiple)
+    frames, ts, gts = golden_pair(H, W, multiple, family)
     preds = interp.interpolate_multi_np(frames, list(ts))[:, 0]
     ps = []
     for pred, gt in zip(preds, gts):

