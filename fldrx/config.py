@@ -81,16 +81,14 @@ class FLDRConfig:
     # pair's flow. Sweep on v5e 4K: 1→2.53, 2→2.61, 3→2.64, 4→2.50 fps
     # (beyond 3, memory pressure degrades the schedule).
     t_chunk: int = 3
-    # fuse the chunk's warp work into one launch per stage
-    # (synthesize_packed_multi). Measured at 4K/chunk-3: fused 4.23 fps vs
-    # 4.28 per-t-loop — the 2T-problem launches pin ~1.8 GB and cost more
-    # in scheduling freedom than they save in prologues. Off by default.
-    t_fuse: bool = False
     # return packed-path synthesis in u-plane form and unpack on the HOST
     # (the evaluator fetches frames anyway; a numpy memcpy on the metric
     # worker threads replaces ~12 ms/t of device interleave DMAs — pure
-    # layout, bit-equal values). Off until TPU-measured (queue B6).
-    planes_out: bool = False
+    # layout, bit-equal values). TPU-measured r4: 4.598 vs 4.577 fps —
+    # adopted as the default. (A cross-t launch-fusion knob `t_fuse` was
+    # measured neutral twice — r3 4.23 vs 4.28, r4 4.577 vs 4.577 — and
+    # removed.)
+    planes_out: bool = True
     padding: str = "reflect"          # pcanet → reflect (main.py:273)
     dataset: str = "X4K1000FPS"
     testsets: Tuple[str, ...] = ("Inter4K-S", "Inter4K-L", "X4K1000FPS", "Xiph-4K")

@@ -201,13 +201,15 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     defer = bool(int(os.environ.get("FLDRX_EVAL_DEFER", "0")))
     deferred: List = []
 
-    # FLDRX_DEVICE_METRICS=1: PSNR/SSIM computed ON-CHIP per chunk
-    # (ops/metrics_jax.py) — only two scalars per frame cross the relay.
-    # The 38 MB/frame D2H and the ~2.8 s/frame of 1-core host SSIM both
-    # disappear. Engaged only when nothing else needs the frames on host
-    # (no PNG dump, no validation rec-loss) and the outputs are plain
-    # layout (cfg.planes_out falls back to the host path).
-    devmet = (bool(int(os.environ.get("FLDRX_DEVICE_METRICS", "0")))
+    # FLDRX_DEVICE_METRICS (default ON): PSNR/SSIM computed ON-CHIP per
+    # chunk (ops/metrics_jax.py) — only two scalars per frame cross the
+    # relay. The 38 MB/frame D2H and the ~2.8 s/frame of 1-core host SSIM
+    # both disappear (metric evals were host-SSIM-bound ~12×). Engaged only
+    # when nothing else needs the frames on host (no PNG dump, no
+    # validation rec-loss); it forces plain-layout synthesis (the 12 ms/t
+    # device interleave is far cheaper than fetching frames for host SSIM,
+    # so it beats cfg.planes_out whenever both apply).
+    devmet = (bool(int(os.environ.get("FLDRX_DEVICE_METRICS", "1")))
               and compute_metrics and not save_dir and not validation)
     _metfn = [None]
 
@@ -276,7 +278,9 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
                     lambda a: flow_to_image(np.asarray(a)[0, :H, :W]), fl)
             outs = [interp.synthesize_multi_at(flow, padded,
                                                ts[k:k + tchunk],
-                                               (H, W), extras)
+                                               (H, W), extras,
+                                               planes_out=(
+                                                   False if devmet else None))
                     for k in range(0, len(ts), tchunk)]
             mets = None
             if devmet:
@@ -291,11 +295,12 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
             finish(deferred.pop(0))
 
     stop = False
-    # FLDRX_RAW_FRAMES=1: frames stay uint8 to the device (4× less H2D over
-    # the relay; normalization happens in-jit, bitwise the host chain).
-    # Off for validation (host rec-loss wants the f32 tensors it had) and
-    # for the multi-chip bridges (their programs expect f32 frames).
-    raw = (bool(int(os.environ.get("FLDRX_RAW_FRAMES", "0")))
+    # FLDRX_RAW_FRAMES (default ON, r4-measured): frames stay uint8 to the
+    # device (4× less H2D over the relay; normalization happens in-jit,
+    # bitwise the host chain). Off for validation (host rec-loss wants the
+    # f32 tensors it had) and for the multi-chip bridges (their programs
+    # expect f32 frames).
+    raw = (bool(int(os.environ.get("FLDRX_RAW_FRAMES", "1")))
            and not validation and parallel_eval is None)
     for idx, (frames, t, scene) in enumerate(test_samples(ds, patch,
                                                           raw=raw)):

@@ -179,14 +179,17 @@ class Interpolator:
         return self._cache[key]
 
     def synthesize_multi_at(self, flow, padded_frames, t_values, orig_hw,
-                            extras=None):
+                            extras=None, planes_out=None):
         """t_values: sequence of scalars → [T, B, H, W, 3] (cropped) — or,
         with cfg.planes_out on the packed path, the u-plane form
         [T, B, 4, H/4, W·3] (shape[-1] != 3; consumers unpack host-side
-        via ops.repack.planes_to_plain_np)."""
+        via ops.repack.planes_to_plain_np). planes_out overrides
+        cfg.planes_out (the evaluator forces plain layout when its
+        on-device metrics consume the frames on chip)."""
         B = flow.shape[0]
-        planes = (getattr(self.cfg, "planes_out", False)
-                  and orig_hw[0] % 4 == 0)
+        if planes_out is None:
+            planes_out = getattr(self.cfg, "planes_out", False)
+        planes = planes_out and orig_hw[0] % 4 == 0
         ts = jnp.asarray(np.asarray(t_values, np.float32).reshape(-1, 1)
                          * np.ones((1, B), np.float32))[..., None]
         out = self._compiled_synth_multi(padded_frames.shape, len(t_values),

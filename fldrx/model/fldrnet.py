@@ -26,7 +26,6 @@ splitting the last axis at 48.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -250,14 +249,12 @@ def _warp_fns(fast: bool):
 
 def level_flow(p: Params, feat: jnp.ndarray,
                flow_prev: Optional[jnp.ndarray],
-               fast: bool = False, fused: bool = False) -> jnp.ndarray:
+               fast: bool = False) -> jnp.ndarray:
     """One DCTVFInet flow step on PCA features.
 
     feat: [B, h, w, 96]; split at 48 exactly as feat_x.reshape(B,2,48,...)
     (fLDRnet.py:368) — a frame-mixing split the trained weights expect.
     Returns flow [B, h, w, 4] = (flow_10_x, flow_10_y, flow_01_x, flow_01_y).
-    fused=True (inference fast path) runs both 48-ch feature warps in one
-    multi-problem splat launch.
     """
     _, ssplat = _warp_fns(fast)
     half = feat.shape[-1] // 2
@@ -271,13 +268,8 @@ def level_flow(p: Params, feat: jnp.ndarray,
     h, w = feat.shape[1], feat.shape[2]
     prev = jax.lax.stop_gradient(flow_prev)
     up = resize_2d(prev, (h, w), "bilinear") * (w / flow_prev.shape[2])
-    if fused and fast:
-        from ..ops.fastwarp import softsplat_fused_many
-        warped1, warped0 = softsplat_fused_many(
-            [(feat1, up[..., 0:2], None), (feat0, up[..., 2:4], None)])
-    else:
-        warped1 = ssplat(feat1, up[..., 0:2])
-        warped0 = ssplat(feat0, up[..., 2:4])
+    warped1 = ssplat(feat1, up[..., 0:2])
+    warped0 = ssplat(feat0, up[..., 2:4])
     a = conv2d(p["conv_flow1"], jnp.concatenate([feat0, warped1], -1))
     b = conv2d(p["conv_flow1"], jnp.concatenate([feat1, warped0], -1))
     tmp = _seq_conv_relu(p["conv_flow2"], jnp.concatenate([a, b, up], -1))
@@ -317,23 +309,12 @@ def z_metrics(p: Params, x0, x1, flow_10, flow_01, fast: bool = False,
     z_alpha = p["z_alpha"].astype(x0.dtype)
     if fused and fast:
         from ..ops.fastwarp import (_sample_coords, _tile_flatten,
-                                    gather_multi, gather_z_multi, Z_KERNEL,
-                                    GTILE)
+                                    gather_multi, GTILE)
         B, H, W, C = x0.shape
         outs0, outs1 = [], []
         for b in range(B):
             sx1, sy1 = _sample_coords(flow_01[b], H, W)
             sx0, sy0 = _sample_coords(flow_10[b], H, W)
-            if tiled_out and Z_KERNEL:
-                # FLDRX_ZKERNEL: mask/diff/abs/sum fused into the gather
-                # kernel — the warped frames never reach HBM; only the
-                # z_alpha/mean rounding order differs (~ulp)
-                zs = gather_z_multi(
-                    [x0[b], x1[b]],
-                    [(1, sx1, sy1, x0[b]), (0, sx0, sy0, x1[b])])
-                outs0.append(z_alpha[0] * zs[0] / C)
-                outs1.append(z_alpha[1] * zs[1] / C)
-                continue
             g10, g01 = gather_multi(
                 [x0[b], x1[b]],
                 [(1, sx1, sy1, True), (0, sx0, sy0, True)],
@@ -671,14 +652,12 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
     fbfl0 = [(1.0 - tb) * flow_01 for tb in tbs]
     fbfl1 = [tb * flow_10 for tb in tbs]
 
-    # ---- cross-t fused warp launches: ALL 2T splats share one strip
-    # sweep, ALL 2T flow compositions share one gather launch ----
-    # FLDRX_TCOORDS=1: additionally share the COORDS — the 2T splat
-    # problems ship the two base flow fields once plus per-problem t
-    # scalars, and the kernel rebuilds each t's coords internally
-    # (bitwise-equal; drops ~(2T−2)·75 MB of pinned per-t coord arrays
-    # per chunk at 4K — the t_fuse memory-pressure item)
-    tcoords = bool(int(os.environ.get("FLDRX_TCOORDS", "0")))
+    # ---- fused warp launches: the per-t 2 splats share one strip sweep,
+    # the 2 flow compositions share one gather launch. (A cross-t 2T-problem
+    # variant — t_fuse, with kernel vals sharing and in-kernel per-t coords —
+    # was built and TPU-measured twice: 4.23 vs 4.28 r3, 4.577 vs 4.577 r4;
+    # the pinned-input pressure cancels the prologue saving, so the cross-t
+    # fusion was removed and this runs with T=1 chunks from the per-t loop.)
     w0L = [[] for _ in range(T)]
     w1L = [[] for _ in range(T)]
     fb0L = [[] for _ in range(T)]
@@ -686,22 +665,15 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
     for b in range(B):
         probs = []
         # hoist the per-b vals (ONE object per frame): splat_multi's
-        # identity-based dedup then ships 2 vals arrays for the 2T
-        # problems and routes p → p % 2 in the kernel's index_map
+        # identity-based dedup ships each distinct vals array once and
+        # routes problem p → its vals slot in the kernel's index_map
         v0b, v1b = vals0[b], vals1[b]
-        if tcoords:
-            for k in range(T):
-                probs.append((v0b, 0, tbs[k][b, 0, 0, 0]))
-                probs.append((v1b, 1, (1.0 - tbs[k])[b, 0, 0, 0]))
-            souts = splat_multi(probs, vals_tiled=ztiled,
-                                coord_bases=[flow_01f[b], flow_10f[b]])
-        else:
-            for k in range(T):
-                probs.append((v0b, xsF[None, :] + flow_t0f[k][b, ..., 0],
-                              ysF[:, None] + flow_t0f[k][b, ..., 1]))
-                probs.append((v1b, xsF[None, :] + flow_t1f[k][b, ..., 0],
-                              ysF[:, None] + flow_t1f[k][b, ..., 1]))
-            souts = splat_multi(probs, vals_tiled=ztiled)
+        for k in range(T):
+            probs.append((v0b, xsF[None, :] + flow_t0f[k][b, ..., 0],
+                          ysF[:, None] + flow_t0f[k][b, ..., 1]))
+            probs.append((v1b, xsF[None, :] + flow_t1f[k][b, ..., 0],
+                          ysF[:, None] + flow_t1f[k][b, ..., 1]))
+        souts = splat_multi(probs, vals_tiled=ztiled)
         gimgs, gprobs = [], []
         for k in range(T):
             sx0, sy0 = _sample_coords(fbfl0[k][b], h, w)
@@ -810,30 +782,25 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
         log1mt = jnp.log(1.0 - tb5)
         bias = jnp.concatenate(
             [log1mt, logt, log1mt, logt, log1mt, logt], -1)  # [B,1,1,1,6]
-        # FLDRX_BLEND24: keep the softmax on the 24-ch minor — stability
-        # max over all 24 (constant within each group of 6, so the group
-        # softmax is unchanged up to ~ulp exponent scaling) and the group
-        # denominator via a block-diagonal ones [24,24] matmul — the
-        # (B,Hp4,Wp4,4,6) narrow-minor softmax intermediate never exists.
-        # Gated until TPU-measured (probes/run_queue.sh A8).
-        blend24 = bool(int(os.environ.get("FLDRX_BLEND24", "0")))
-        if blend24:
-            G24 = jnp.asarray(
-                np.kron(np.eye(4, dtype=np.float32),
-                        np.ones((6, 6), np.float32)))
-            bias24 = jnp.tile(bias[..., 0, :], (1, 1, 1, 4))  # [B,1,1,24]
+        # The softmax stays on the 24-ch minor — stability max over all 24
+        # (constant within each group of 6, so the group softmax is
+        # unchanged up to ~ulp exponent scaling) and the group denominator
+        # via a block-diagonal ones [24,24] matmul — the (B,Hp4,Wp4,4,6)
+        # narrow-minor softmax intermediate never exists. (TPU-measured r4:
+        # 4.583 vs 4.577 fps for the (4,6) jax.nn.softmax form; adopted as
+        # the only fast-path blend — `synthesize` keeps the reference
+        # arithmetic.)
+        G24 = jnp.asarray(
+            np.kron(np.eye(4, dtype=np.float32),
+                    np.ones((6, 6), np.float32)))
+        bias24 = jnp.tile(bias[..., 0, :], (1, 1, 1, 4))      # [B,1,1,24]
         out_planes = []
         for u in range(4):
-            if blend24:
-                xu = out[..., u * 24:u * 24 + 24] / Tparam + bias24
-                e = jnp.exp(xu - jnp.max(xu, axis=-1, keepdims=True))
-                denom = jnp.einsum("bhwq,qr->bhwr", e, G24,
-                                   precision=jax.lax.Precision.HIGHEST)
-                p6 = (e / denom).reshape(B, Hp4, Wp4, 4, 6)
-            else:
-                p6 = jax.nn.softmax(
-                    out[..., u * 24:u * 24 + 24].reshape(
-                        B, Hp4, Wp4, 4, 6) / Tparam + bias, axis=-1)
+            xu = out[..., u * 24:u * 24 + 24] / Tparam + bias24
+            e = jnp.exp(xu - jnp.max(xu, axis=-1, keepdims=True))
+            denom = jnp.einsum("bhwq,qr->bhwr", e, G24,
+                               precision=jax.lax.Precision.HIGHEST)
+            p6 = (e / denom).reshape(B, Hp4, Wp4, 4, 6)
             out_u = (p6[..., 0:1] * cells(warped0P[k], u, 3)
                      + p6[..., 1:2] * cells(warped1P[k], u, 3)
                      + p6[..., 2:3] * cells(im0P[k], u, 3)
@@ -896,21 +863,19 @@ def forward_flow(params: Params, cfg: FLDRConfig,
     S = cfg.S_tst
     fast = getattr(cfg, "fast_warp", False)
     compute_dtype = _stage_dtype(cfg, "flow_dtype", compute_dtype)
-    # softsplat_fused_many for the feature warps measured SLOWER in its
-    # u-plane form (flow 156→279 ms: the per-chunk plane interleaves
-    # serialize). r3: the fused path now emits PLAIN rows straight from the
-    # strip kernel (splat_multi planes=False) — the interleaves are gone;
-    # gated until TPU-measured (queue A7)
-    fused = fast and bool(int(os.environ.get("FLDRX_FLOW_FUSED", "0")))
+    # One-launch fused feature warps were built twice and TPU-measured twice:
+    # the u-plane form lost (flow 156→279 ms, plane interleaves serialize) and
+    # the r4 plain-row strip form was exactly neutral (4.576 vs 4.577 fps) —
+    # per-level chunked launches stay, the fused path was removed.
     with jax.named_scope("pca_features"):
         feats = extract_features(params, cfg, pyramid, S + 1, compute_dtype)
     vp = params["vfinet"]
     flow = None
     for level in range(S, 0, -1):
         with jax.named_scope(f"flow_level_{level}"):
-            flow = level_flow(vp, feats[level], flow, fast=fast, fused=fused)
+            flow = level_flow(vp, feats[level], flow, fast=fast)
     with jax.named_scope("flow_level_0"):
-        flow = level_flow(vp, feats[0], flow, fast=fast, fused=fused)
+        flow = level_flow(vp, feats[0], flow, fast=fast)
     return flow
 
 
@@ -1007,21 +972,11 @@ def forward_synthesis_multi(params: Params, cfg: FLDRConfig,
     planes_out=True on the packed path, [T, B, 4, H/4, W·3] (callers
     detect the u-plane form by shape[-1] != 3 and unpack host-side).
 
-    cfg.t_fuse gates the cross-t LAUNCH fusion (measured at 4K/chunk-3:
-    fused 4.23 fps vs per-t-loop 4.28 — the 2T-problem launches pin
-    ~1.8 GB of splat vals/outputs and the lost scheduling freedom beats
-    the ~7 ms/launch prologue saving; default off, kept for geometries
-    where the balance flips; r3 adds kernel vals sharing — re-measure)."""
-    fast = getattr(cfg, "fast_warp", False)
-    unet_dtype = _stage_dtype(cfg, "unet_dtype", compute_dtype)
-    if (fast and getattr(cfg, "t_fuse", False) and _packed_enabled(cfg)
-            and can_use_packed(flow, images)):
-        with jax.named_scope("synthesis_multi"):
-            outs = synthesize_packed_multi(
-                params["vfinet"], flow, images, list(ts),
-                precomputed=precomputed, compute_dtype=unet_dtype,
-                planes_out=planes_out)
-        return jnp.stack([o[0] for o in outs], 0)
+    (A cross-t launch-fusion variant — one 2T-problem launch per warp
+    stage for the whole chunk — was TPU-measured twice and never won:
+    4.23 vs 4.28 fps r3, 4.577 vs 4.577 r4 with kernel vals sharing; the
+    pinned 2T-problem inputs cancel the ~7 ms/launch prologue saving. The
+    per-t loop below is the measured default; XLA CSEs shared prologues.)"""
     return jnp.stack(
         [forward_synthesis(params, cfg, flow, images, t,
                            precomputed=precomputed,

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = bool(os.environ.get("FLDRX_PALLAS_INTERPRET"))
 
-_BH = int(os.environ.get("FLDRX_CONV_BH", "8"))   # image rows per grid step
+_BH = 8   # image rows per grid step (r4 sweep: 8 = 19.1 ms enc1 pairconv;
+          # BH ≥ 16 exceeds the 128 MB VMEM budget at 4K — frozen, no knob)
 
 
 def _rows_per_block(Wp8: int) -> int:

@@ -60,32 +60,25 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = bool(os.environ.get("FLDRX_PALLAS_INTERPRET"))
 
 TILE = 32                  # splat tile side → N = 1024 rows for the MXU
-GTILE = int(os.environ.get("FLDRX_GTILE", "32"))
-                           # gather tile side: window dims scale with the
-                           # tile (window = tile + 2·halo), so smaller tiles
-                           # cut the one-hot matmul FLOPs — at the price of
-                           # more grid steps and tighter in-tile halos
-_G_DEF = {32: ("128", "128"), 16: ("64", "96"), 64: ("192", "160")}[GTILE]
-                           # gather winx 160→128 (r3): −5 hat/fold VPU
-                           # passes/tile; x-halo drops 48→32 px but the
-                           # ×8-protocol bench stays spill-free on
-                           # naturalistic content and nets +5% (4.07→4.28
-                           # fps measured; adversarial content degrades
-                           # through the exact tiers, not in quality)
-WINY_G = int(os.environ.get("FLDRX_WINY_G", _G_DEF[0]))
-                           # gather window rows (8-quantized adaptive origin
+GTILE = 32                 # gather tile side. Frozen after the r3/r4 sweeps:
+                           # GTILE=16 loses to grid/DMA overhead (122 vs
+                           # 97 ms), GTILE=64 loses to window FLOPs (36.2 vs
+                           # 22.6 ms/gather probe).
+WINY_G = 128               # gather window rows (8-quantized adaptive origin
                            # → guaranteed y-halo ±(WINY_G−GTILE)/2−4; kernel
                            # MXU cost scales with WINY_G while every spilled
-                           # tile costs ~0.1µs/px in the exact fixup tiers)
-WINY_S = int(os.environ.get("FLDRX_WINY_S", "96"))
-                           # splat window rows (coarse-adaptive strip origin
+                           # tile costs ~0.1µs/px in the exact fixup tiers).
+                           # 256 measured slower (29.97 vs 22.6 ms), 96 is a
+                           # no-op (MXU K-dim pads to 128).
+WINY_S = 96                # splat window rows (coarse-adaptive strip origin
                            # → vertical reach ±(OYR_S−TILE); spills → fixup)
 CHUNK = 8                  # max channels per kernel call (VMEM budget)
 MIN_FAST_PIXELS = 1 << 16  # below this the XLA ops win (kernel/grid overhead
                            # dominates) and compile-time variants multiply
 SPILL_CAP = 1 << 16        # max exactly-fixed spill pixels before fallback
-_WINX_G = int(os.environ.get("FLDRX_WINX_G", _G_DEF[1]))  # gather x window (qx-mult)
-_WINX_S = int(os.environ.get("FLDRX_WINX_S", "128"))   # splat x window (qx-mult)
+_WINX_G = 128              # gather x window (qx-mult; 160→128 was +5% e2e
+                           # r3, WINX_S=96 stays rejected)
+_WINX_S = 128              # splat x window (qx-mult)
 
 
 def _row_to_col(row):
@@ -106,46 +99,23 @@ def _row_to_col(row):
                                preferred_element_type=jnp.float32)
 
 
-_GK_CAP = int(os.environ.get("FLDRX_GK", "8"))   # max tiles per grid step
-_PIPE_BF16 = bool(int(os.environ.get("FLDRX_PIPE_BF16", "0")))
-                           # run the kernels' wide [N, winx·C] weight
-                           # pipelines (hat max / value mult / lane folds)
-                           # in bf16 at 2× VPU rate. The hat SUBTRACTION
-                           # stays f32 — rounding d = u−x itself to bf16
-                           # would create phantom taps; rounding 1−|d|
-                           # keeps negatives negative, so max(0, ·) still
-                           # zeroes everything outside the true 2-tap
-                           # support. Adds ~2 bf16 roundings per tap
-                           # (values already round once at the MXU):
-                           # quality-gate on the golden clip before
-                           # defaulting on.
-Z_KERNEL = bool(int(os.environ.get("FLDRX_ZKERNEL", "0")))
-                           # compute the z-metric reduction Σ_c|self−out·m|
-                           # INSIDE the gather kernel (gather_z_multi): the
-                           # full-res warped frame never leaves the kernel —
-                           # saves the mask/diff/mean XLA passes and 4× of
-                           # output HBM traffic for the two z warps per pair.
-                           # Default off until TPU-measured (probes/zprobe);
-                           # z values differ from the XLA chain only in the
-                           # z_alpha/mean rounding order (~ulp)
-_GWIN = os.environ.get("FLDRX_GWIN", "tile")     # gather window mode:
-                           # "tile" = one DMA per tile (adaptive per-tile
-                           # origins); "group" = ONE shared window DMA per
-                           # K-tile grid step (~K× fewer DMA rows and ~3×
-                           # fewer bytes — per-tile halos overlap heavily),
-                           # at the price of group-mean (not tile-mean)
-                           # window origins: per-tile reach is unchanged
-                           # for rigid motion, but flow VARIATION across
-                           # the group's K·GTILE-px span eats into the
-                           # halo; spills degrade through the exact tiers
+_GK_CAP = 8                # max tiles per grid step (K=16 measured +10%
+                           # per-gather in r3; the r4 group-mode K sweep
+                           # agreed — frozen, no knob)
+# r4 TPU measurements removed three whole kernel variants (recorded so they
+# are not re-built): a shared-window "group" gather (one DMA per K-tile grid
+# step) was +12% per-gather on smooth content but catastrophic under motion
+# (673 vs 59 ms at a 300 px pan — group-mean origins spill whole frames) and
+# lost end-to-end (4.23 vs 4.58 fps); bf16 wide weight pipelines (PIPE_BF16)
+# were neutral (28.31 vs 28.52 ms/splat probe, quality-gate unneeded); the
+# in-kernel z-metric reduction (ZKERNEL) was slightly slower than the XLA
+# chain it replaced (113 vs 109 ms z-stage/pair).
 
 
 def _pick_k(tx: int) -> int:
-    """Tiles per grid step: largest of 16/8/4/2/1 dividing the tile-row
-    length AND within the FLDRX_GK cap (default 8 — K=16 measured +10% in
-    per-tile window mode, but group-window mode shares one DMA per K tiles,
-    so larger K may pay there). K-groups never span image rows (shared
-    splat/group windows require it)."""
+    """Tiles per grid step: largest of 8/4/2/1 dividing the tile-row
+    length (K=16 measured +10% per-gather). K-groups never span image rows
+    (the shared splat strip windows require it)."""
     for k in (16, 8, 4, 2, 1):
         if tx % k == 0 and k <= _GK_CAP:
             return k
@@ -153,39 +123,27 @@ def _pick_k(tx: int) -> int:
 
 
 def _hat(iv, coord):
-    """Bilinear hat max(0, 1−|iv−coord|) as one wide pipeline. The
-    subtraction runs f32 (exact tap support); with _PIPE_BF16 the rest
-    runs bf16 at 2× VPU rate (bitwise-equal results wherever the hat is
-    computed from the same rounding point — see _PIPE_BF16 note)."""
-    h = 1.0 - jnp.abs(iv - coord)
-    if _PIPE_BF16:
-        return jnp.maximum(jnp.bfloat16(0.0), h.astype(jnp.bfloat16))
-    return jnp.maximum(0.0, h)
+    """Bilinear hat max(0, 1−|iv−coord|) as one wide f32 pipeline (the
+    bilinear taps are the hat's only nonzeros; f32 keeps exact tap
+    support — a bf16 variant measured neutral and was removed)."""
+    return jnp.maximum(0.0, 1.0 - jnp.abs(iv - coord))
 
 
 def _x_fold(t1, ufl, xcol, wC):
     """Gather epilogue: weight the y-contracted window t1 [N, wC] by the x
     hat taps and fold the wC/128 lane tiles into one [N, 128] bf16 block
     for the channel-condense matmul."""
-    w = _hat(ufl, xcol)
-    if _PIPE_BF16:
-        tw = t1.astype(jnp.bfloat16) * w
-    else:
-        tw = t1 * w
+    tw = t1 * _hat(ufl, xcol)
     s = tw[:, 0:128]                     # lane-tile fold (partial sums)
     for lt in range(1, wC // 128):
         s = s + tw[:, 128 * lt:128 * (lt + 1)]
-    return s if _PIPE_BF16 else s.astype(jnp.bfloat16)
+    return s.astype(jnp.bfloat16)
 
 
 def _splat_contrib(RYT, CXe, v128, wC):
     """Splat tile contribution RYT @ (CXe ⊙ Ve), Ve = v128 lane-replicated
-    to the window width. Under _PIPE_BF16 the wide multiply runs bf16 (one
-    extra rounding of the weight·value product vs the f32 pipeline; the
-    MXU rounds both operands to bf16 either way)."""
-    if _PIPE_BF16:
-        Ve = jnp.concatenate([v128.astype(jnp.bfloat16)] * (wC // 128), 1)
-        return jnp.dot(RYT, CXe * Ve, preferred_element_type=jnp.float32)
+    to the window width (weights f32 until the MXU rounds both operands
+    to bf16)."""
     Ve = jnp.concatenate([v128] * (wC // 128), axis=1)
     return jnp.dot(RYT.astype(jnp.bfloat16), (CXe * Ve).astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
@@ -308,8 +266,13 @@ def _origins(sx_t, sy_t, H, W, winy, winx, qx, pady, padx):
     return oy, ox
 
 
-OYR_S = int(os.environ.get("FLDRX_OYR_S", "96"))
-                           # strip back-reach below the tile row (rows)
+OYR_S = 128                # strip back-reach below the tile row (rows).
+                           # 128 (vs 96) is MXU-free — the [STRIPH, N]
+                           # one-hot K-dim pads to 256 either way — and
+                           # buys +32 px of vertical splat reach; r4 bench
+                           # measured it FASTER end-to-end (4.643 vs 4.577
+                           # fps: fewer spill-fixup branches taken), so it
+                           # is both the speed and the spill-margin choice.
 
 
 def _origins_strip(sx_t, sy_t, tx, W, winy, winx, qx, padx):
@@ -341,17 +304,7 @@ def _ok_mask(sx_t, sy_t, oy, ox, winy, winx):
 # gather (backward warp)
 # ---------------------------------------------------------------------------
 
-def _z_epilogue(C, outT, coords_j):
-    """In-kernel z reduction: rows 2.. of the coords block carry the bwarp
-    mask and the self frame's channels; returns Σ_c |self_c − out_c·m| as a
-    [1, N] row (bitwise the gather→mask→diff→abs→sum chain, minus the HBM
-    round trip of the full warped frame)."""
-    m = coords_j[2:3, :]
-    selfT = coords_j[3:3 + C, :]
-    return jnp.sum(jnp.abs(selfT - outT[:C] * m), axis=0, keepdims=True)
-
-
-def _gather_kernel(C, winx, K, winy, zred, origins_ref, img_hbm, coords_ref,
+def _gather_kernel(C, winx, K, winy, origins_ref, img_hbm, coords_ref,
                    out_ref, win_ref, sem):
     """K output tiles per grid step; per-tile window DMAs double-buffered
     across steps (the next step's K windows stream in while this step's
@@ -367,9 +320,6 @@ def _gather_kernel(C, winx, K, winy, zred, origins_ref, img_hbm, coords_ref,
     taps are the hat's only nonzeros) and ~15% faster (the mask pipeline on
     [N, winx·C] is the kernel's VPU bottleneck, measured).
 
-    zred=True (gather_z_multi): the coords block carries (rx, ry, mask,
-    self_0..self_{C-1}) rows and the kernel emits the z-metric row per tile
-    ([K, N] block) instead of the gathered frame.
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -407,7 +357,6 @@ def _gather_kernel(C, winx, K, winy, zred, origins_ref, img_hbm, coords_ref,
     cc = jax.lax.broadcasted_iota(jnp.int32, (128, C), 1)
     M = (jc == cc).astype(jnp.bfloat16)
 
-    zrows = []
     for j in range(K):
         rxr = coords_ref[j, 0:1, :]                        # [1, N]
         ryr = coords_ref[j, 1:2, :]
@@ -429,154 +378,52 @@ def _gather_kernel(C, winx, K, winy, zred, origins_ref, img_hbm, coords_ref,
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         # outT[c, p] = sum_l M[l, c] * s[p, l]
-        outT = jax.lax.dot_general(M, _x_fold(t1, ufl, xcol, wC),
-                                   (((0,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        if zred:
-            zrows.append(_z_epilogue(zred, outT, coords_ref[j]))
-        else:
-            out_ref[j] = outT
-    if zred:
-        out_ref[...] = jnp.concatenate(zrows, axis=0)
-
-
-def _gather_kernel_grp(C, winx, K, winy, gtile, zred, origins_ref, img_hbm,
-                       coords_ref, out_ref, win_ref, sem):
-    """Shared-window variant of _gather_kernel: the K tiles of a grid step
-    (one contiguous run of a tile row) read ONE window of
-    [winy, ((K−1)·gtile + winx)·C] at the group origin — per-tile halos
-    overlap by (winx − gtile) px, so the shared window cuts DMA traffic
-    ~winx/gtile× in bytes and K× in row descriptors (each window DMA is
-    winy strided row bursts; the per-tile mode issues K of them per step).
-    Tile j's subwindow is a STATIC lane slice at j·gtile·C (128-aligned),
-    so the MXU work is identical to the per-tile mode."""
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    wtot = (K - 1) * gtile + winx
-
-    def window_dma(step, slot):
-        row = pl.multiple_of(origins_ref[2 * step] + winy, 8)
-        col = pl.multiple_of((origins_ref[2 * step + 1] + winx) * C, 128)
-        return pltpu.make_async_copy(
-            img_hbm.at[pl.ds(row, winy), pl.ds(col, wtot * C)],
-            win_ref.at[slot], sem.at[slot])
-
-    @pl.when(i == 0)
-    def _():
-        window_dma(i, 0).start()
-
-    @pl.when(i + 1 < n)
-    def _():
-        window_dma(i + 1, (i + 1) % 2).start()
-
-    N = coords_ref.shape[2]
-    wC = winx * C
-    ivT = jax.lax.broadcasted_iota(jnp.int32, (winy, N), 0)
-    ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
-           // C).astype(jnp.float32)
-    jc = jax.lax.broadcasted_iota(jnp.int32, (128, C), 0) % C
-    cc = jax.lax.broadcasted_iota(jnp.int32, (128, C), 1)
-    M = (jc == cc).astype(jnp.bfloat16)
-
-    window_dma(i, i % 2).wait()
-    zrows = []
-    for j in range(K):
-        rxr = coords_ref[j, 0:1, :]                        # [1, N]
-        ryr = coords_ref[j, 1:2, :]
-        RYT = _hat(ivT.astype(jnp.float32), ryr)
-        xcol = _row_to_col(rxr)
-        t1 = jax.lax.dot_general(
-            RYT.astype(jnp.bfloat16),
-            win_ref[i % 2][:, j * gtile * C:j * gtile * C + wC],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        outT = jax.lax.dot_general(M, _x_fold(t1, ufl, xcol, wC),
-                                   (((0,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        if zred:
-            zrows.append(_z_epilogue(zred, outT, coords_ref[j]))
-        else:
-            out_ref[j] = outT
-    if zred:
-        out_ref[...] = jnp.concatenate(zrows, axis=0)
+        out_ref[j] = jax.lax.dot_general(M, _x_fold(t1, ufl, xcol, wC),
+                                         (((0,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
 
 
 def _gather_fast(img_pad2d, rel_coords, origins, n_tiles, C, winx, K,
-                 winy=None, tile=None, group=False, zred=0):
-    """zred=C_real: rel_coords is [ntiles, 3+C_real, N] (rx, ry, mask,
-    self channels) and the launch returns the z rows [ntiles, N] instead of
-    the gathered frame [ntiles, N, C]."""
+                 winy=None, tile=None):
     winy = winy or WINY_G
     tile = tile or GTILE
     N = tile * tile
-    if group:
-        wtot = (K - 1) * tile + winx
-        kernel = functools.partial(_gather_kernel_grp, C, winx, K, winy,
-                                   tile, zred)
-        scratch = [pltpu.VMEM((2, winy, wtot * C), jnp.bfloat16),
-                   pltpu.SemaphoreType.DMA((2,))]
-    else:
-        kernel = functools.partial(_gather_kernel, C, winx, K, winy, zred)
-        scratch = [pltpu.VMEM((2, K, winy, winx * C), jnp.bfloat16),
-                   pltpu.SemaphoreType.DMA((2, K))]
-    crows = 3 + zred if zred else 2
-    out_spec = (pl.BlockSpec((K, N), lambda i, o: (i, 0)) if zred
-                else pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)))
-    out_shape = (jax.ShapeDtypeStruct((n_tiles, N), jnp.float32) if zred
-                 else jax.ShapeDtypeStruct((n_tiles, C, N), jnp.float32))
+    kernel = functools.partial(_gather_kernel, C, winx, K, winy)
+    scratch = [pltpu.VMEM((2, K, winy, winx * C), jnp.bfloat16),
+               pltpu.SemaphoreType.DMA((2, K))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles // K,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec((K, crows, N), lambda i, o: (i, 0, 0)),
+            pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)),
         ],
-        out_specs=out_spec,
+        out_specs=pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0)),
         scratch_shapes=scratch,
     )
     out_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, C, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=_INTERPRET,
     )(origins, img_pad2d, rel_coords)
-    if zred:
-        return out_t                                       # [ntiles, N]
     return jnp.moveaxis(out_t, 1, 2)                       # [ntiles, N, C]
 
 
 def _gather_origins(sx_t, sy_t, H, W, winy, winx, qx, pady, padx, K,
                     tile, row_base=0):
-    """Gather window origins for the active _GWIN mode.
+    """Per-tile adaptive gather window origins.
 
-    Returns (origins_flat for the kernel's scalar prefetch, oy/ox per TILE
-    for rel-coord and spill-mask computation). In "group" mode the stored
-    origins are per K-GROUP (the group window's base) and the per-tile
-    ox derive as oxg + j·tile; row_base (gather_multi's stacked-image row
-    offset) is added to the STORED oy only."""
-    if _GWIN != "group":
-        oy, ox = _origins(sx_t, sy_t, H, W, winy, winx, qx, pady, padx)
-        return jnp.stack([oy + row_base, ox], axis=1).reshape(-1), oy, ox
-    n_tiles = sx_t.shape[0]
-    ng = n_tiles // K
-    cx = jnp.mean(sx_t, axis=1).reshape(ng, K)
-    cy = jnp.mean(sy_t, axis=1).reshape(ng, K)
-    joff = jnp.arange(K, dtype=cx.dtype)[None, :] * tile
-    gx = jnp.mean(cx - joff, axis=1)           # group-mean x displacement
-    gy = jnp.mean(cy, axis=1)
-    oxg = jnp.round((gx - winx / 2) / qx).astype(jnp.int32) * qx
-    oyg = jnp.round((gy - winy / 2) / 8).astype(jnp.int32) * 8
-    oxg = jnp.clip(oxg, -padx,
-                   ((W + padx - winx - (K - 1) * tile) // qx) * qx)
-    oyg = jnp.clip(oyg, -pady, ((H + pady - winy) // 8) * 8)
-    origins = jnp.stack([oyg + row_base, oxg], axis=1).reshape(-1)
-    ox = (oxg[:, None]
-          + jnp.arange(K, dtype=jnp.int32)[None, :] * tile).reshape(-1)
-    oy = jnp.broadcast_to(oyg[:, None], (ng, K)).reshape(-1)
-    return origins, oy, ox
+    Returns (origins_flat for the kernel's scalar prefetch, oy/ox per tile
+    for rel-coord and spill-mask computation); row_base (gather_multi's
+    stacked-image row offset) is added to the STORED oy only. (A per-K-group
+    shared-origin mode was measured in r4 and removed — see the header
+    note.)"""
+    oy, ox = _origins(sx_t, sy_t, H, W, winy, winx, qx, pady, padx)
+    return jnp.stack([oy + row_base, ox], axis=1).reshape(-1), oy, ox
 
 
 def _sample_coords(flow: jnp.ndarray, H: int, W: int):
@@ -713,7 +560,7 @@ def gather_at(img: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray,
                      sy_t - oy[:, None].astype(sy_t.dtype)], axis=1)
     out_t = _gather_fast(
         img_pad.reshape(Hp, Wp * cp).astype(jnp.bfloat16), rel,
-        origins, n_tiles, cp, winx, K, group=_GWIN == "group")[..., :C]
+        origins, n_tiles, cp, winx, K)[..., :C]
     out_t = _tile_gather_fix(img[..., :C], sx_t, sy_t, out_t, ok_t,
                              n_tiles, C)
     if bwarp_mask:
@@ -803,7 +650,7 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False,
     out_all = _gather_fast(
         stack.reshape(len(imgs) * Hp, Wp * cp).astype(jnp.bfloat16),
         jnp.concatenate(all_rel, 0), jnp.concatenate(all_origins, 0),
-        P * n_tiles, cp, winx, K, group=_GWIN == "group")[..., :C]
+        P * n_tiles, cp, winx, K)[..., :C]
 
     outs = []
     for pi, (idx, sx_t, sy_t, ok_t, m) in enumerate(per):
@@ -820,122 +667,34 @@ def gather_multi(imgs, problems, planes_out=False, coords_tiled=False,
     return outs
 
 
-def _tile_gather_fix_z(img, self_rows, mask_t, sx_t, sy_t, z_t, ok_t,
-                       n_tiles):
-    """z-space exact fixup: tiles containing spilled pixels get their z rows
-    recomputed from the exact per-element gather (tier ladder: _tiered_fix,
-    same capacities as _tile_gather_fix; the chain exact-gather → mask →
-    diff → abs → sum matches the in-kernel epilogue's op order)."""
-    from .warp import grid_sample_bilinear
-
-    tile_bad = ~jnp.all(ok_t, axis=1)              # [ntiles]
-
-    def z_of(s_rows, m_rows, vals):
-        # s_rows [T, C, N], m_rows [T, N], vals [T, N, C] (exact gather)
-        s = jnp.moveaxis(s_rows, 1, 2)
-        return jnp.sum(jnp.abs(s - vals * m_rows[..., None]), axis=-1)
-
-    def fix_with_cap(cap):
-        def fix(z):
-            idx = jnp.nonzero(tile_bad, size=cap, fill_value=n_tiles)[0]
-            safe = jnp.minimum(idx, n_tiles - 1)
-            vals = grid_sample_bilinear(img[None], sx_t[safe][None],
-                                        sy_t[safe][None])[0]
-            return z.at[idx].set(
-                z_of(self_rows[safe], mask_t[safe], vals), mode="drop")
-        return fix
-
-    def full(z):
-        vals = grid_sample_bilinear(img[None], sx_t.reshape(1, n_tiles, -1),
-                                    sy_t.reshape(1, n_tiles, -1))[0]
-        return z_of(self_rows, mask_t, vals)
-
-    return _tiered_fix(tile_bad, GATHER_SPILL_TIERS, fix_with_cap, full,
-                       z_t)
-
-
-def gather_z_multi(imgs, problems, use_kernel=None):
-    """The z-metric warps in ONE launch with the reduction fused in-kernel.
+def gather_z_multi(imgs, problems):
+    """The z-metric warps in ONE gather launch + XLA reduce.
 
     problems: list of (img_idx, sx, sy, self_img); each returns the row
     z = Σ_c |self_c − m·gather(imgs[img_idx])_c| as [ntiles, N] in GTILE
-    row-major tile order, with m the bwarp 0.999 validity mask. The mask and
-    the self frame ride the coords block's padded sublanes (the [K, 2, N]
-    rel-coords block pads to 8 sublanes anyway, so 4 extra rows are free
-    DMA-wise) and the warped frame never leaves the kernel — vs the
-    tiled_out chain this saves the [ntiles, N, C] f32 HBM round trip and
-    the XLA mask/diff/abs/sum passes for the two z warps per pair.
-
-    use_kernel=None reads the FLDRX_ZKERNEL gate; the fallback computes the
-    identical values via gather_multi(tiled_out=True) + XLA reduce (callers
-    apply z_alpha/C to the returned sum either way, which reorders the
-    z_alpha multiply vs the reference mean(α·|d|) by ~1 ulp).
+    row-major tile order, with m the bwarp 0.999 validity mask (callers
+    apply z_alpha/C to the returned sum, which reorders the z_alpha
+    multiply vs the reference mean(α·|d|) by ~1 ulp). An in-kernel
+    reduction variant (ZKERNEL) measured slightly SLOWER than this chain
+    (113 vs 109 ms z-stage/pair, r4) and was removed — XLA fuses the
+    mask/diff/abs/sum passes well enough that skipping the warped frame's
+    HBM round trip did not pay.
     Reference: softsplat importance z = α·mean|x0 − bwarp(x1, flow)|
     (/root/reference/fLDRnet.py:439-446).
     """
-    if use_kernel is None:
-        use_kernel = Z_KERNEL
     H, W, C = imgs[0].shape
-    n_tiles = (H // GTILE) * (W // GTILE)
     # tiled-domain API: the [ntiles, N] return form only exists for
     # GTILE-divisible shapes (callers reach this via the packed path, which
     # can_use_packed already restricts to %32 geometry)
     if H % GTILE or W % GTILE:
         raise ValueError(f"gather_z_multi needs GTILE({GTILE})-divisible "
                          f"shapes, got {H}x{W}")
-    if (not use_kernel
-            or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
-            or (jax.default_backend() != "tpu" and not _INTERPRET)):
-        outs = gather_multi(imgs,
-                            [(i, sx, sy, True) for i, sx, sy, _ in problems],
-                            tiled_out=True)
-        return [jnp.sum(jnp.abs(_tile_flatten(s, H, W, tile=GTILE) - o),
-                        axis=-1)
-                for o, (_, _, _, s) in zip(outs, problems)]
-    assert C <= 4, "z warps are frame warps"
-    cp, winx, qx = _win_geom(C)
-    pady, padx = WINY_G, winx
-    imgs_p = []
-    for img in imgs:
-        if cp != C:
-            img = jnp.pad(img, ((0, 0), (0, 0), (0, cp - C)))
-        imgs_p.append(jnp.pad(img, ((pady, pady), (padx, padx), (0, 0))))
-    Hp, Wp = imgs_p[0].shape[0], imgs_p[0].shape[1]
-    stack = jnp.concatenate(imgs_p, axis=0)
-    K = _pick_k(W // GTILE)
-    all_origins, all_rel, per = [], [], []
-    for idx, sx, sy, self_img in problems:
-        sx_t = _tile_flatten(sx, H, W, tile=GTILE)
-        sy_t = _tile_flatten(sy, H, W, tile=GTILE)
-        origins, oy, ox = _gather_origins(sx_t, sy_t, H, W, WINY_G, winx,
-                                          qx, pady, padx, K, GTILE,
-                                          row_base=idx * Hp)
-        ok_t = _ok_mask(sx_t, sy_t, oy, ox, WINY_G, winx)
-        mask_t = _bwarp_mask_tiled(sx_t, sy_t, H, W)
-        self_rows = jnp.stack(
-            [_tile_flatten(self_img[..., c], H, W, tile=GTILE)
-             for c in range(C)], axis=1)               # [nt, C, N]
-        all_origins.append(origins)
-        all_rel.append(jnp.concatenate(
-            [jnp.stack([sx_t - ox[:, None].astype(sx_t.dtype),
-                        sy_t - oy[:, None].astype(sy_t.dtype),
-                        mask_t], axis=1),
-             self_rows], axis=1))                      # [nt, 3+C, N]
-        per.append((idx, sx_t, sy_t, ok_t, mask_t, self_rows))
-
-    P = len(problems)
-    z_all = _gather_fast(
-        stack.reshape(len(imgs) * Hp, Wp * cp).astype(jnp.bfloat16),
-        jnp.concatenate(all_rel, 0), jnp.concatenate(all_origins, 0),
-        P * n_tiles, cp, winx, K, group=_GWIN == "group", zred=C)
-
-    outs = []
-    for pi, (idx, sx_t, sy_t, ok_t, mask_t, self_rows) in enumerate(per):
-        z_t = z_all[pi * n_tiles:(pi + 1) * n_tiles]
-        outs.append(_tile_gather_fix_z(imgs[idx][..., :C], self_rows,
-                                       mask_t, sx_t, sy_t, z_t, ok_t,
-                                       n_tiles))
-    return outs
+    outs = gather_multi(imgs,
+                        [(i, sx, sy, True) for i, sx, sy, _ in problems],
+                        tiled_out=True)
+    return [jnp.sum(jnp.abs(_tile_flatten(s, H, W, tile=GTILE) - o),
+                    axis=-1)
+            for o, (_, _, _, s) in zip(outs, problems)]
 
 
 def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
@@ -980,7 +739,7 @@ def bwarp_fast(x: jnp.ndarray, flow: jnp.ndarray,
 # splat (forward warp, summation mode)
 # ---------------------------------------------------------------------------
 
-STRIPH = OYR_S + TILE + WINY_S   # strip rows in VMEM (224); while row r is
+STRIPH = OYR_S + TILE + WINY_S   # strip rows in VMEM (256); while row r is
                                  # processed it covers canvas rows
                                  # [32r−OYR_S, 32r+TILE+WINY_S)
 
@@ -1167,7 +926,7 @@ def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K,
     return outs[0] if n_problems == 1 else outs
 
 
-def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, scaled, *refs):
+def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, *refs):
     """Strip-accumulator splat with a u-MAJOR strip that flushes directly
     into u-planes (see the u-plane layout note above), processing
     N_PROBLEMS independent splats in one continuous sweep.
@@ -1182,26 +941,11 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, scaled, *refs):
     hat-form one-hot needs no okx/okyr: sources of spilled tiles are
     zeroed on the XLA side and re-added exactly by the fixup.
 
-    scaled=True (cross-t coord sharing): coords_ref carries tiled BASE flow
-    [K, 2, N] (problem p reads base p % n_bases via its index_map) and a
-    scales_ref input carries one f32 per problem; the kernel rebuilds the
-    absolute target coords as (iota_xy + s·flow) − origin with the XLA
-    prologue's op order. Equality contract: compilers are free to contract
-    the mul+add into an FMA (measured: XLA does, Mosaic may not), so the
-    rebuilt coords can differ from the plain path's by 1 f32 ulp — the
-    output deviation is one bf16 weight rounding on a measure-zero pixel
-    set (~0.1%, ≤2^-8 relative; window-edge ulp crossings only lose
-    ~2^-16 of tap mass, no structural failure). origins encode the
-    per-tile spill push in bit 22 (colC stays < 2^22). The 2T per-t coord
-    arrays of a chunk (~75 MB each at 4K) collapse to the n_bases shared
-    flow fields — the pinned-input pressure that made t_fuse lose 4.23 vs
-    4.28 fps in round 3.
+    (A `scaled` cross-t coord-sharing variant — tiled base flow + per-
+    problem t scalars, coords rebuilt in-kernel — was removed with the
+    cross-t t_fuse path it served: t_fuse measured neutral twice on TPU.)
     """
-    if scaled:
-        (origins_ref, scales_ref, coords_ref, vals_ref, out_hbm,
-         strip_ref, sems) = refs
-    else:
-        origins_ref, coords_ref, vals_ref, out_hbm, strip_ref, sems = refs
+    origins_ref, coords_ref, vals_ref, out_hbm, strip_ref, sems = refs
     i = pl.program_id(0)
     n = pl.num_programs(0)
     spr = tx // K                      # grid steps per tile-row
@@ -1269,34 +1013,11 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, scaled, *refs):
               == jax.lax.broadcasted_iota(jnp.int32, (C, 128), 0)).astype(
                   jnp.float32)
 
-    spp = ty_local * tx // K           # grid steps per problem
-    n_tiles = ty_local * tx
-    if scaled:
-        ivx = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-               % TILE).astype(jnp.float32)
-        ivy = (jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-               // TILE).astype(jnp.float32)
-        s = scales_ref[0, 0]           # per-problem scale (block-selected)
     for j in range(K):
         g = i * K + j
-        if scaled:
-            enc = origins_ref[g]
-            badf = (enc >> 22).astype(jnp.float32) * 1e6
-            colC = pl.multiple_of(enc & ((1 << 22) - 1), 128)
-            ox = (enc & ((1 << 22) - 1)) // C - winx     # colC/cp − padx
-            tl = g % n_tiles
-            # absolute coords rebuilt with the XLA prologue's op order:
-            # (iota + s·flow) − origin, spill push last (bitwise-equal)
-            xg = ((tl % tx) * TILE).astype(jnp.float32) + ivx
-            yg = ((tl // tx) * TILE).astype(jnp.float32) + ivy
-            oyf = ((tl // tx) * TILE - OYR_S).astype(jnp.float32)
-            txr = (xg + s * coords_ref[j, 0:1, :]
-                   ) - ox.astype(jnp.float32) - badf
-            tyr = (yg + s * coords_ref[j, 1:2, :]) - oyf
-        else:
-            colC = pl.multiple_of(origins_ref[g], 128)
-            txr = coords_ref[j, 0:1, :]                   # strip-relative
-            tyr = coords_ref[j, 1:2, :]
+        colC = pl.multiple_of(origins_ref[g], 128)
+        txr = coords_ref[j, 0:1, :]                       # strip-relative
+        tyr = coords_ref[j, 1:2, :]
         # hat-form strip one-hot against the u-major row map; no okyr —
         # spilled tiles' pushed X coords hat to zero
         RYT = _hat(ivT, tyr)
@@ -1318,21 +1039,16 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, scaled, *refs):
 
 
 def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
-                       n_problems=1, n_vals=None, scales=None, n_bases=None):
+                       n_problems=1, n_vals=None):
     """u-plane splat launch over n_problems stacked problems: output
     [4, n_problems·seg4, WpC]; within a problem's segment, canvas row y
     lives at plane y%4, segment row y//4 + OYR_S/4.
 
     n_vals: cross-problem vals sharing — valsT holds only n_vals distinct
     problems' values ([n_vals·ntiles, C, N]) and problem p reads vals set
-    p % n_vals via the BlockSpec index_map (the cross-t chunk's 2T splats
-    share 2 t-invariant vals arrays; without sharing the XLA prologue
-    materializes and pins a concat copy per problem — ~150 MB each at 4K).
-
-    scales/n_bases (cross-t coord sharing, see _splat_kernel_up): rel_coords
-    carries n_bases TILED base flow fields [n_bases·ntiles, 2, N] (problem p
-    reads base p % n_bases), scales is [n_problems, 128] f32 (one value per
-    problem, lane-broadcast), and origins encode the spill push in bit 22."""
+    p % n_vals via the BlockSpec index_map (splat_multi dedupes repeated
+    vals objects; without sharing the XLA prologue materializes and pins a
+    concat copy per problem — ~150 MB each at 4K)."""
     N = TILE * TILE
     ty, tx = H // TILE, W // TILE
     padx = winx
@@ -1345,21 +1061,10 @@ def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
             lambda i, o: (((i // spp) % n_vals) * spp + i % spp, 0, 0))
     else:
         vspec = pl.BlockSpec((K, C, N), lambda i, o: (i, 0, 0))
-    scaled = scales is not None
-    if scaled:
-        cspec = pl.BlockSpec(
-            (K, 2, N),
-            lambda i, o: (((i // spp) % n_bases) * spp + i % spp, 0, 0))
-        in_specs = [pl.BlockSpec((1, 128), lambda i, o: (i // spp, 0)),
-                    cspec, vspec]
-        operands = (origins, scales, rel_coords, valsT)
-    else:
-        in_specs = [pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)), vspec]
-        operands = (origins, rel_coords, valsT)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_problems * ty * tx // K,),
-        in_specs=in_specs,
+        in_specs=[pl.BlockSpec((K, 2, N), lambda i, o: (i, 0, 0)), vspec],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             pltpu.VMEM((STRIPH, WpC), jnp.float32),
@@ -1367,8 +1072,7 @@ def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_splat_kernel_up, C, winx, K, tx, ty, n_problems,
-                          scaled),
+        functools.partial(_splat_kernel_up, C, winx, K, tx, ty, n_problems),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, n_problems * seg4, WpC),
                                        jnp.float32),
@@ -1377,7 +1081,7 @@ def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
             has_side_effects=True,
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=_INTERPRET,
-    )(*operands)
+    )(origins, rel_coords, valsT)
     # slice each problem's image region: canvas row y ↔ plane y%4,
     # segment row y//4 + OYR_S/4
     r0 = OYR_S // 4
@@ -1394,9 +1098,8 @@ SPLAT_SPILL_TIERS = (8, 64, 512)   # exact-refix capacities (source tiles);
 
 def _tile_xy_iota(H, W, tile=TILE):
     """[ntiles, N] global x / y of every tile pixel (row-major tiles), built
-    from iota — spill-fixup branches rebuild per-t coords from these plus
-    the shared base flow instead of capturing materialized coord arrays
-    (lax.cond operands pin; see splat_multi coord_bases)."""
+    from iota — lets spill-fixup branches rebuild coords instead of
+    capturing materialized coord arrays (lax.cond operands pin)."""
     ty_, tx_ = H // tile, W // tile
     g = jnp.arange(ty_ * tx_, dtype=jnp.int32)[:, None]
     nn = jnp.arange(tile * tile, dtype=jnp.int32)[None, :]
@@ -1566,95 +1269,7 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
                            n_tiles, H, W, C)
 
 
-def _splat_multi_scaled(problems, bases, vals_tiled, planes):
-    """splat_multi with cross-problem COORD sharing: problems are
-    (vals, base_idx, scale) with target coords (x + s·base_x, y + s·base_y).
-    The launch ships the n_bases TILED flow fields once (problem p reads
-    base p % n_bases via its BlockSpec index_map — the cross-t chunk
-    pattern) plus one f32 scale per problem, and the kernel rebuilds each
-    problem's rel coords internally with the plain path's op order (equal
-    up to 1 ulp of FMA-contraction freedom — one bf16 weight rounding on
-    ~0.1% of pixels; see _splat_kernel_up). A T-chunk's 2T coord arrays
-    (~75 MB each at 4K) collapse to the 2 shared fields; spill fixups
-    rebuild coords inside their cond branches, so nothing per-t is pinned
-    across the launch."""
-    assert planes, "coord sharing is a packed-path (planes) feature"
-    n_bases = len(bases)
-    assert all(bi == p % n_bases for p, (_, bi, _) in enumerate(problems)), \
-        "coord_bases requires the cyclic problem pattern p % n_bases"
-    H, W = bases[0].shape[0], bases[0].shape[1]
-    C = problems[0][0].shape[-1]
-    xs = jnp.arange(W, dtype=jnp.float32)
-    ys = jnp.arange(H, dtype=jnp.float32)
-    fallback = (H % TILE or W % TILE or H < TILE or W < TILE
-                or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
-                or (jax.default_backend() != "tpu" and not _INTERPRET))
-    if fallback:
-        expanded = []
-        for v, bi, s in problems:
-            fl = jnp.asarray(s, jnp.float32) * bases[bi]
-            expanded.append((v, xs[None, :] + fl[..., 0],
-                             ys[:, None] + fl[..., 1]))
-        return splat_multi(expanded, vals_tiled=vals_tiled, planes=planes)
-    assert C <= CHUNK
-    cp, winx, qx = _win_geom(C, wide=False)
-    K = _pick_k(W // TILE)
-    padx = winx
-    txn = W // TILE
-    xs_t, ys_t = _tile_xy_iota(H, W)
-    bases_t = [jnp.stack([_tile_flatten(b[..., 0], H, W),
-                          _tile_flatten(b[..., 1], H, W)], axis=1)
-               for b in bases]                           # [nt, 2, N] each
-    n_tiles = xs_t.shape[0]
-    vseen, vlist, vids = {}, [], []
-    per, all_origins, scales = [], [], []
-    for vals, bi, s in problems:
-        if id(vals) not in vseen:
-            v = vals
-            if cp != C:
-                v = jnp.pad(v, ((0, 0), (0, 0), (0, cp - C)))
-            v_t = v if vals_tiled else _tile_flatten(v, H, W)
-            vseen[id(vals)] = (len(vlist), v_t)
-            vlist.append(jnp.moveaxis(v_t, 1, 2))
-        vi, vals_t = vseen[id(vals)]
-        vids.append(vi)
-        s = jnp.asarray(s, jnp.float32).reshape(())
-        # per-problem coords exist only as expressions fused into the
-        # origin/spill reductions — never a kernel input
-        tx_t = xs_t + s * bases_t[bi][:, 0]
-        ty_t = ys_t + s * bases_t[bi][:, 1]
-        oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
-        ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
-        bad = (~jnp.all(ok_t, axis=1)).astype(jnp.int32)
-        all_origins.append((ox + padx) * cp + (bad << 22))
-        scales.append(s)
-        per.append((vals_t, bi, s, ok_t))
-
-    P = len(problems)
-    n_vals = len(vlist)
-    shared = (n_vals < P and all(vi == p % n_vals
-                                 for p, vi in enumerate(vids)))
-    if shared:
-        valsT_cat = jnp.concatenate(vlist, 0) if n_vals > 1 else vlist[0]
-    else:
-        valsT_cat = jnp.concatenate([vlist[vi] for vi in vids], 0)
-    scales_arr = jnp.broadcast_to(jnp.stack(scales)[:, None], (P, 128))
-    outs = _splat_fast_planes(
-        valsT_cat, jnp.concatenate(bases_t, 0),
-        jnp.concatenate(all_origins, 0), H, W, cp, winx, K,
-        n_problems=P, n_vals=n_vals if shared else None,
-        scales=scales_arr, n_bases=n_bases)
-    results = []
-    for o, (vals_t, bi, s, ok_t) in zip(outs, per):
-        def coords_fn(bi=bi, s=s):
-            xt, yt = _tile_xy_iota(H, W)
-            return (xt + s * bases_t[bi][:, 0], yt + s * bases_t[bi][:, 1])
-        results.append(_tile_splat_fix(o, vals_t[..., :cp], coords_fn, None,
-                                       ok_t, n_tiles, H, W, cp, planes=True))
-    return results
-
-
-def splat_multi(problems, vals_tiled=False, planes=True, coord_bases=None):
+def splat_multi(problems, vals_tiled=False, planes=True):
     """N independent bilinear scatter-adds in ONE kernel launch.
 
     problems: list of (vals [H,W,C], tx [H,W], ty [H,W]) — same shapes.
@@ -1668,13 +1283,7 @@ def splat_multi(problems, vals_tiled=False, planes=True, coord_bases=None):
 
     vals_tiled=True: each problem's vals arrive PRE-TILED [ntiles, N, C]
     in TILE row-major order (the tiled z/vals chain skips the full-res
-    round trip); tx/ty stay plain [H, W] fields.
-
-    coord_bases: cross-problem coordinate sharing — problems become
-    (vals, base_idx, scale) with coords (x, y) + scale·coord_bases[base_idx]
-    (see _splat_multi_scaled)."""
-    if coord_bases is not None:
-        return _splat_multi_scaled(problems, coord_bases, vals_tiled, planes)
+    round trip); tx/ty stay plain [H, W] fields."""
     if vals_tiled:
         H, W = problems[0][1].shape
         C = problems[0][0].shape[-1]
@@ -1750,58 +1359,6 @@ def softsplat_fast(img: jnp.ndarray, flow: jnp.ndarray,
     """Softmax-splatting wrapper on the fast kernel (ops/splat.py algebra)."""
     from .splat import softsplat
     return softsplat(img, flow, z, splat_fn=splat_sum_fast)
-
-
-def softsplat_fused_many(pairs):
-    """Softmax splatting of several (img [B,H,W,C], flow, z|None) problems —
-    wide channels chunked AND all problems batched into ONE multi-problem
-    PLAIN-layout launch (the flow recurrence's 48-ch feature warps otherwise
-    pay 7 chunk launches × 2 warps per level). Plain outputs; inference only
-    (no VJP). Falls back to per-problem softsplat off-TPU/odd shapes.
-
-    r3: emits plain rows straight from the strip kernel (splat_multi
-    planes=False) — the u-plane variant's per-chunk plane→plain interleaves
-    serialized (flow 156→279 ms measured), which is why forward_flow gated
-    this path off; re-measure with FLDRX_FLOW_FUSED=1."""
-    from .splat import softsplat
-
-    B, H, W, C = pairs[0][0].shape
-    if (H % TILE or W % TILE or H < TILE or W < TILE
-            or (H * W < MIN_FAST_PIXELS and not _INTERPRET)
-            or (jax.default_backend() != "tpu" and not _INTERPRET)):
-        return [softsplat(img, fl, z, splat_fn=splat_sum_fast)
-                for img, fl, z in pairs]
-
-    C1 = C + 1                        # + weight channel
-    Cp = -(-C1 // CHUNK) * CHUNK
-    xs = jnp.arange(W, dtype=jnp.float32)
-    ys = jnp.arange(H, dtype=jnp.float32)
-    results = [[] for _ in pairs]
-    for b in range(B):
-        problems = []
-        for img, fl, z in pairs:
-            inp01 = (img[b].astype(jnp.float32) + 1.0) * 0.5
-            if z is None:
-                m = jnp.ones((H, W, 1), jnp.float32)
-                weighted = inp01
-            else:
-                m = jnp.exp(z[b].astype(jnp.float32))
-                weighted = inp01 * m
-            vals = jnp.concatenate([weighted, m], axis=-1)
-            if Cp != C1:
-                vals = jnp.pad(vals, ((0, 0), (0, 0), (0, Cp - C1)))
-            tx = xs[None, :] + fl[b, ..., 0].astype(jnp.float32)
-            ty = ys[:, None] + fl[b, ..., 1].astype(jnp.float32)
-            for i in range(0, Cp, CHUNK):
-                problems.append((vals[..., i:i + CHUNK], tx, ty))
-        outs = splat_multi(problems, planes=False)
-        ppp = Cp // CHUNK             # problems per pair
-        for pi in range(len(pairs)):
-            s = jnp.concatenate(outs[pi * ppp:(pi + 1) * ppp], -1)
-            norm = s[..., C:C1]
-            norm = jnp.where(norm == 0.0, jnp.ones_like(norm), norm)
-            results[pi].append((s[..., :C] / norm - 0.5) * 2.0)
-    return [jnp.stack(r, 0) for r in results]
 
 
 def softsplat_fast_planes(img: jnp.ndarray, flow: jnp.ndarray,

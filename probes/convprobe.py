@@ -1,7 +1,8 @@
 """Probe: conv3x3_pixrows at the refine UNet's two big shapes.
 
-Run as: FLDRX_CONV_BH=8|16|32 python -u /tmp/convprobe.py (fresh process
-per BH — read at fastconv import).
+Run as: python -u probes/convprobe.py. (The rows-per-grid-step block
+height is frozen at 8 in ops/fastconv.py — the r4 sweep showed BH >= 16
+exceeds the 128 MB VMEM budget at 4K.)
 """
 import os, sys, time
 import numpy as np
@@ -37,7 +38,7 @@ def probe(name, H, W, Cin, K):
         float(f(x))
     ms = (time.perf_counter() - t0) / REPS / CHAIN * 1e3
     gmac = (H * W * Cin * K * 9 + H * W * K * Cin * 9) / 1e9
-    print(f"BH={os.environ.get('FLDRX_CONV_BH', '8'):>3s} {name:>6s} "
+    print(f"{name:>6s} "
           f"[{H}x{W}] {Cin}->{K}->{Cin}: {ms:7.2f} ms/pairconv "
           f"({gmac / max(ms, 1e-9) * 1e3 * 2:6.0f} GFLOP/s)", flush=True)
 

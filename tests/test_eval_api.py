@@ -174,9 +174,10 @@ def test_uint8_ingestion_matches_f32():
 
 
 def test_evaluator_raw_frames_matches(tmp_path, monkeypatch):
-    """FLDRX_RAW_FRAMES=1 (uint8 to the device) must reproduce the f32
-    pipeline's metrics to input-ulp tolerance — alone and combined with
-    device metrics."""
+    """uint8-to-device ingestion (FLDRX_RAW_FRAMES, default ON) must
+    reproduce the f32 pipeline's metrics to input-ulp tolerance — alone
+    and combined with device metrics (also default ON; both pinned off
+    for the baseline run)."""
     from PIL import Image
     from fldrx.eval.evaluator import evaluate
     rng = np.random.RandomState(8)
@@ -188,6 +189,8 @@ def test_evaluator_raw_frames_matches(tmp_path, monkeypatch):
         Image.fromarray(np.roll(base, i, axis=1)).save(d / f"{i:04d}.png")
     interp, cfg = _interp(S=1)
     cfg = cfg.replace(x_test_data_path=str(root))
+    monkeypatch.setenv("FLDRX_RAW_FRAMES", "0")
+    monkeypatch.setenv("FLDRX_DEVICE_METRICS", "0")
     ref = evaluate(interp, cfg, "X4K1000FPS", multiple=4, verbose=False)
     monkeypatch.setenv("FLDRX_RAW_FRAMES", "1")
     res = evaluate(interp, cfg, "X4K1000FPS", multiple=4, verbose=False)
@@ -213,6 +216,7 @@ def test_evaluator_device_metrics_matches(tmp_path, monkeypatch):
         Image.fromarray(np.roll(base, i, axis=1)).save(d / f"{i:04d}.png")
     interp, cfg = _interp(S=1)
     cfg = cfg.replace(x_test_data_path=str(root))
+    monkeypatch.setenv("FLDRX_DEVICE_METRICS", "0")
     ref = evaluate(interp, cfg, "X4K1000FPS", multiple=4, verbose=False)
     monkeypatch.setenv("FLDRX_DEVICE_METRICS", "1")
     res = evaluate(interp, cfg, "X4K1000FPS", multiple=4, verbose=False)
@@ -221,12 +225,15 @@ def test_evaluator_device_metrics_matches(tmp_path, monkeypatch):
     np.testing.assert_allclose(res.ssim, ref.ssim, atol=1e-4)
 
 
-def test_evaluator_planes_out_matches(tmp_path):
+def test_evaluator_planes_out_matches(tmp_path, monkeypatch):
     """The ACTUAL evaluate() loop with cfg.planes_out on packed-path
     geometry (≥768 px so can_use_packed accepts): metrics must equal the
-    plain-output run bit-for-bit (host unpack is a pure layout op)."""
+    plain-output run bit-for-bit (host unpack is a pure layout op).
+    Device metrics pinned off — they force plain layout (the u-plane host
+    path is what this test exercises)."""
     from PIL import Image
     from fldrx.eval.evaluator import evaluate
+    monkeypatch.setenv("FLDRX_DEVICE_METRICS", "0")
     rng = np.random.RandomState(4)
     root = tmp_path / "xtest"
     d = root / "Type1" / "TEST01"
@@ -236,6 +243,7 @@ def test_evaluator_planes_out_matches(tmp_path):
         Image.fromarray(np.roll(base, i, axis=1)).save(d / f"{i:04d}.png")
     cfg = papermodel().replace(S_tst=1, compute_dtype="float32",
                                fast_warp=True, packed_synth=True,
+                               planes_out=False,
                                x_test_data_path=str(root))
     params = init_params(jax.random.PRNGKey(0), cfg)
     ref = evaluate(Interpolator(params, cfg), cfg, "X4K1000FPS",

@@ -206,109 +206,27 @@ def test_synthesize_packed_planes_out_is_pure_layout():
             np.asarray(out_p), planes_to_plain_np(np.asarray(out_q)))
 
 
-def test_synthesize_packed_tcoords_matches():
-    """FLDRX_TCOORDS=1 (in-kernel per-t splat coords in the cross-t fused
-    chunk) vs the per-t coord arrays: equal up to 1 ulp of FMA-contraction
-    freedom on the coords — here on the CPU fallback the coords expand to
-    the identical expressions, so outputs must match to float-roundoff."""
-    import os
-
+def test_blend24_softmax_algebra_matches_grouped():
+    """The fast path's 24-minor blend softmax (stability max over all 24 —
+    constant within each group of 6, so each group softmax is unchanged up
+    to ~ulp exponent scaling — and the group denominator via a
+    block-diagonal ones [24,24] matmul) must match the plain (4,6)
+    jax.nn.softmax to float-roundoff. This is the ONLY blend form the
+    packed path ships (adopted r4: 4.583 vs 4.577 fps); `synthesize`
+    keeps the reference arithmetic."""
     import jax
-    from fldrx.model.fldrnet import (flow_extras, init_params,
-                                     synthesize_packed_multi)
 
-    cfg = papermodel().replace(fast_warp=True, packed_synth=True)
-    params = init_params(jax.random.PRNGKey(3), cfg)
-    rng = np.random.RandomState(13)
-    B, H, W = 1, 256, 320
-    images = jnp.asarray((rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32))
-    flow_l = jnp.asarray((rng.rand(B, H // 8, W // 8, 4) * 6 - 3)
-                         .astype(np.float32))
-    extras = flow_extras(params, cfg, flow_l, images)
-    ts = [jnp.full((B, 1), tv, jnp.float32) for tv in (0.25, 0.625)]
-    base = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
-                                   precomputed=extras)
-    os.environ["FLDRX_TCOORDS"] = "1"
-    try:
-        alt = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
-                                      precomputed=extras)
-    finally:
-        os.environ.pop("FLDRX_TCOORDS", None)
-    for (out_b, fr_b, _, _), (out_a, fr_a, _, _) in zip(base, alt):
-        np.testing.assert_array_equal(np.asarray(fr_b), np.asarray(fr_a))
-        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
-                                   atol=1e-5)
-
-
-def test_synthesize_packed_composed_gates_match():
-    """The bench's composed candidate config (t_fuse chunk + planes_out +
-    TCOORDS + BLEND24 together) vs the plain multi-t chunk: individual
-    equivalences don't cover interactions."""
-    import os
-
-    import jax
-    from fldrx.model.fldrnet import (flow_extras, init_params,
-                                     synthesize_packed_multi)
-    from fldrx.ops.repack import planes_to_plain_np
-
-    cfg = papermodel().replace(fast_warp=True, packed_synth=True)
-    params = init_params(jax.random.PRNGKey(3), cfg)
-    rng = np.random.RandomState(17)
-    B, H, W = 1, 256, 320
-    images = jnp.asarray((rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32))
-    flow_l = jnp.asarray((rng.rand(B, H // 8, W // 8, 4) * 6 - 3)
-                         .astype(np.float32))
-    extras = flow_extras(params, cfg, flow_l, images)
-    ts = [jnp.full((B, 1), tv, jnp.float32) for tv in (0.375, 0.875)]
-    base = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
-                                   precomputed=extras)
-    os.environ["FLDRX_TCOORDS"] = "1"
-    os.environ["FLDRX_BLEND24"] = "1"
-    try:
-        alt = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
-                                      precomputed=extras, planes_out=True)
-    finally:
-        os.environ.pop("FLDRX_TCOORDS", None)
-        os.environ.pop("FLDRX_BLEND24", None)
-    for (out_b, _, _, _), (out_a, _, _, _) in zip(base, alt):
-        np.testing.assert_allclose(
-            np.asarray(out_b), planes_to_plain_np(np.asarray(out_a)),
-            atol=1e-5)
-
-
-def test_synthesize_packed_blend24_matches():
-    """FLDRX_BLEND24=1 (softmax kept on the 24-ch minor: stability max
-    over all 24 — constant within each group of 6 — and the group
-    denominator via a block-diagonal ones matmul) must match the (4,6)
-    jax.nn.softmax blend to float-roundoff."""
-    import os
-
-    import jax
-    from fldrx.model.fldrnet import (flow_extras, init_params,
-                                     synthesize_packed_multi)
-
-    cfg = papermodel().replace(fast_warp=True, packed_synth=True)
-    params = init_params(jax.random.PRNGKey(3), cfg)
     rng = np.random.RandomState(11)
-    B, H, W = 1, 256, 320
-    images = jnp.asarray((rng.rand(B, 2, H, W, 3) * 2 - 1).astype(np.float32))
-    flow_l = jnp.asarray((rng.rand(B, H // 8, W // 8, 4) * 6 - 3)
-                         .astype(np.float32))
-    extras = flow_extras(params, cfg, flow_l, images)
-    ts = [jnp.full((B, 1), tv, jnp.float32) for tv in (0.125, 0.75)]
-    base = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
-                                   precomputed=extras)
-    os.environ["FLDRX_BLEND24"] = "1"
-    try:
-        alt = synthesize_packed_multi(params["vfinet"], flow_l, images, ts,
-                                      precomputed=extras)
-    finally:
-        os.environ.pop("FLDRX_BLEND24", None)
-    for (out_b, _, _, _), (out_a, _, _, _) in zip(base, alt):
-        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
-                                   atol=2e-6)
-
-
+    x = jnp.asarray(rng.randn(2, 7, 9, 24).astype(np.float32) * 3)
+    ref = jax.nn.softmax(x.reshape(2, 7, 9, 4, 6), axis=-1)
+    G24 = jnp.asarray(np.kron(np.eye(4, dtype=np.float32),
+                              np.ones((6, 6), np.float32)))
+    e = jnp.exp(x - jnp.max(x, axis=-1, keepdims=True))
+    denom = jnp.einsum("bhwq,qr->bhwr", e, G24,
+                       precision=jax.lax.Precision.HIGHEST)
+    got = (e / denom).reshape(2, 7, 9, 4, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-7, rtol=2e-6)
 def test_refine_unet_s2d_matches_plain():
     """Space-to-depth UNet is a weight-exact repacking of refine_unet:
     outputs match to float-roundoff at any %4 shape."""

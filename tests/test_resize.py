@@ -34,56 +34,15 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("stencil", [False, True])
 @pytest.mark.parametrize("mode", ["bicubic", "bilinear", "nearest"])
 @pytest.mark.parametrize("case", CASES)
-def test_resize_matches_torch(mode, case, stencil):
+def test_resize_matches_torch(mode, case):
     H, W, oh, ow = case
     rng = np.random.RandomState(0)
     x = rng.randn(2, H, W, 3).astype(np.float32)
     ref = _torch_resize(x, (oh, ow), mode, False)
-    got = np.asarray(resize_2d(jnp.asarray(x), (oh, ow), mode, False,
-                               stencil=stencil))
+    got = np.asarray(resize_2d(jnp.asarray(x), (oh, ow), mode, False))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
-
-
-STENCIL_CASES = [
-    # integer factors the model actually uses (pyramid /2^i, flow ×8/×2)
-    ("bicubic", 64, 96, 32, 48),
-    ("bicubic", 64, 96, 16, 24),
-    ("bicubic", 64, 96, 8, 12),
-    ("bicubic", 48, 48, 16, 16),      # odd factor 3 (pure subsample taps)
-    ("bilinear", 64, 96, 32, 48),
-    ("bilinear", 16, 24, 128, 192),   # ×8 flow upscale
-    ("bilinear", 32, 48, 64, 96),     # ×2
-    ("bilinear", 64, 96, 128, 48),    # mixed: H ×2 up, W /2 down
-]
-
-
-@pytest.mark.parametrize("case", STENCIL_CASES)
-def test_resize_stencil_matches_dense(case):
-    """The constant-tap stencil path (FLDRX_RESIZE_STENCIL) vs the dense
-    interpolation matmuls: identical f64-built tap weights, f32 accumulation
-    — only the add order differs (≤1 ulp interior, ≤1 ulp at clamped
-    borders where (1−frac)+frac replaces a pre-summed 1.0)."""
-    mode, H, W, oh, ow = case
-    rng = np.random.RandomState(3)
-    x = rng.randn(2, H, W, 3).astype(np.float32)
-    dense = np.asarray(resize_2d(jnp.asarray(x), (oh, ow), mode, False,
-                                 stencil=False))
-    sten = np.asarray(resize_2d(jnp.asarray(x), (oh, ow), mode, False,
-                                stencil=True))
-    np.testing.assert_allclose(sten, dense, rtol=3e-7, atol=3e-6)
-
-
-def test_resize_stencil_falls_back_on_noninteger():
-    """Non-integer ratios must silently use the dense path (same result)."""
-    x = np.random.RandomState(4).randn(1, 17, 23, 3).astype(np.float32)
-    a = np.asarray(resize_2d(jnp.asarray(x), (40, 56), "bicubic", False,
-                             stencil=True))
-    b = np.asarray(resize_2d(jnp.asarray(x), (40, 56), "bicubic", False,
-                             stencil=False))
-    np.testing.assert_array_equal(a, b)
 
 
 def test_resize_identity():
