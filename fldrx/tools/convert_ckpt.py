@@ -11,6 +11,14 @@ tolerance documented in SURVEY.md §7).
 
 Usage:
     python -m fldrx.tools.convert_ckpt [src.pt] [dst.npz]
+    python -m fldrx.tools.convert_ckpt --pwc [pwc-checkpoint.pt] [dst.npz]
+
+The --pwc branch converts the PWCNet teacher checkpoint the reference loads
+in useful.py:105-117 ('./OpticalFlow/pwc-checkpoint.pt') via
+model.pwcnet.convert_pwc_checkpoint (key map: moduleExtractor.module{One..Six},
+module{Two..Six} decoders incl. flipped-HWIO deconvs, moduleRefiner.moduleMain).
+The blob is absent from the repo mirror (.MISSING_LARGE_BLOBS) — the branch
+exists so the first day with the real file is one command, not a key-map hunt.
 """
 
 from __future__ import annotations
@@ -186,8 +194,31 @@ def convert(src: str = DEFAULT_SRC, dst: str = DEFAULT_DST) -> str:
     return dst
 
 
+DEFAULT_PWC_SRC = "/root/reference/OpticalFlow/pwc-checkpoint.pt"
+DEFAULT_PWC_DST = "checkpoints/pwc_teacher.npz"
+
+
+def convert_pwc(src: str = DEFAULT_PWC_SRC, dst: str = DEFAULT_PWC_DST) -> str:
+    """PWCNet teacher checkpoint → npz (loadable with load_params_npz;
+    consumed by train losses' distillation path via model.pwcnet)."""
+    import os
+
+    from ..model.pwcnet import convert_pwc_checkpoint
+
+    params = convert_pwc_checkpoint(src)
+    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+    save_params_npz(dst, params)
+    return dst
+
+
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SRC
-    dst = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_DST
-    out = convert(src, dst)
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--pwc":
+        src = argv[1] if len(argv) > 1 else DEFAULT_PWC_SRC
+        dst = argv[2] if len(argv) > 2 else DEFAULT_PWC_DST
+        out = convert_pwc(src, dst)
+    else:
+        src = argv[0] if argv else DEFAULT_SRC
+        dst = argv[1] if len(argv) > 1 else DEFAULT_DST
+        out = convert(src, dst)
     print(f"wrote {out}")

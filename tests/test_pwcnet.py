@@ -104,15 +104,11 @@ def test_pwc_forward_non64_divisible():
     assert flow.shape == (1, 100, 150, 2)
 
 
-def test_pwc_converter_roundtrip(tmp_path):
-    """convert_pwc_checkpoint key-map round trip on a synthetic torch state
-    dict shaped like the reference PWCNet (OpticalFlow/PWCNet.py:24-252):
-    the converted pytree must match init_pwc_params structurally, with conv
-    weights OIHW->HWIO transposed and deconv weights flipped/transposed."""
-    from fldrx.model.pwcnet import (_DECODER_IN, _LEVEL_CHANNELS,
-                                    convert_pwc_checkpoint)
+def _synth_pwc_state_dict(rng):
+    """Synthetic torch state dict shaped like the reference PWCNet
+    (OpticalFlow/PWCNet.py:24-252) — the converter tests' shared fixture."""
+    from fldrx.model.pwcnet import _DECODER_IN, _LEVEL_CHANNELS
 
-    rng = np.random.RandomState(0)
     sd = {}
 
     def add_conv(name, ci, co, k=3):
@@ -154,7 +150,17 @@ def test_pwc_converter_roundtrip(tmp_path):
                            [(rin, 128), (128, 128), (128, 128), (128, 96),
                             (96, 64), (64, 32), (32, 2)]):
         add_conv(f"moduleRefiner.moduleMain.{i}", ci, co)
+    return sd
 
+
+def test_pwc_converter_roundtrip(tmp_path):
+    """convert_pwc_checkpoint key-map round trip on a synthetic torch state
+    dict shaped like the reference PWCNet (OpticalFlow/PWCNet.py:24-252):
+    the converted pytree must match init_pwc_params structurally, with conv
+    weights OIHW->HWIO transposed and deconv weights flipped/transposed."""
+    from fldrx.model.pwcnet import convert_pwc_checkpoint
+
+    sd = _synth_pwc_state_dict(np.random.RandomState(0))
     path = str(tmp_path / "pwc-synth.pt")
     torch.save(sd, path)
     p = convert_pwc_checkpoint(path)
@@ -181,6 +187,30 @@ def test_pwc_converter_roundtrip(tmp_path):
     fl = pwc_forward(p, jnp.asarray(im), jnp.asarray(im))
     assert fl.shape == (1, 64, 64, 2)
     assert np.isfinite(np.asarray(fl)).all()
+
+
+def test_pwc_converter_cli_npz(tmp_path):
+    """The convert_ckpt --pwc branch (tools/convert_ckpt.py): .pt → .npz →
+    load_params_npz must round-trip the teacher pytree bit-exactly
+    (reference blob: useful.py:110 './OpticalFlow/pwc-checkpoint.pt')."""
+    from fldrx.tools.convert_ckpt import convert_pwc, load_params_npz
+
+    sd = _synth_pwc_state_dict(np.random.RandomState(2))
+    src = str(tmp_path / "pwc-synth.pt")
+    torch.save(sd, src)
+    dst = str(tmp_path / "pwc.npz")
+    assert convert_pwc(src, dst) == dst
+    p, extras, meta = load_params_npz(dst)
+    assert not extras and not meta
+    ref = init_pwc_params(jax.random.PRNGKey(0))
+    ref_paths = {str(k): np.shape(v) for k, v in
+                 jax.tree_util.tree_leaves_with_path(ref)}
+    got_paths = {str(k): np.shape(v) for k, v in
+                 jax.tree_util.tree_leaves_with_path(p)}
+    assert ref_paths == got_paths
+    w_t = sd["moduleExtractor.moduleOne.0.weight"].numpy()
+    np.testing.assert_array_equal(p["extractor"]["level0"][0]["w"],
+                                  np.transpose(w_t, (2, 3, 1, 0)))
 
 
 def test_correlation_pallas_matches_xla():
