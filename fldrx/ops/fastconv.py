@@ -63,22 +63,27 @@ def _conv_kernel(Wp8, Cp, K, x_hbm, w_ref, b_ref, out_ref, xbuf, sem):
     x0 = xbuf[i % 2]
     N = _BH * Wp8
     K = w_ref.shape[2] // 3
-    res = None
+    acc = None
     for ky in range(3):
         off = ky * Wp8                      # 8-aligned static slice
         s = x0[off:off + N + 8]             # +8 rows: kx taps, 8-mult length
         # one matmul per ky with the 3 kx weight blocks concatenated on the
         # output axis (3K lanes fill the MXU's 128-wide output; a K=64-wide
-        # result wastes half of it). The kx shifts are taken on the SMALL
-        # outputs — an unaligned sublane slice of [N, K] is a cheap
-        # relayout, while on the [N, Cp] operand it forced a full-block
-        # copy per tap (measured).
+        # result wastes half of it). The ky contributions accumulate FULL
+        # WIDTH (aligned f32 adds) and the kx tap shifts are taken ONCE on
+        # the summed [N+8, 3K] result — the kx shift is ky-independent, so
+        # this is the same sum in a different association, and it pays 3
+        # unaligned-slice relayouts per step instead of 9. (Shifting the
+        # [N, Cp] operand instead forced a full-block copy per tap,
+        # measured.)
         contrib = jax.lax.dot_general(
             s, w_ref[ky], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        for kx in range(3):
-            part = contrib[kx:kx + N, kx * K:(kx + 1) * K]
-            res = part if res is None else res + part
+        acc = contrib if acc is None else acc + contrib
+    res = None
+    for kx in range(3):
+        part = acc[kx:kx + N, kx * K:(kx + 1) * K]
+        res = part if res is None else res + part
     out_ref[...] = (res + b_ref[...]).astype(out_ref.dtype)
 
 
