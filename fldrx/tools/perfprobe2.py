@@ -33,8 +33,8 @@ def _run_levels(F, params, cfg, feats, S):
     vp = params["vfinet"]
     flow = None
     for level in range(S, 0, -1):
-        flow = F.level_flow(vp, feats[level], flow, fast=fast, fused=False)
-    return F.level_flow(vp, feats[0], flow, fast=fast, fused=False)
+        flow = F.level_flow(vp, feats[level], flow, fast=fast)
+    return F.level_flow(vp, feats[0], flow, fast=fast)
 
 
 def timed(fn, *args, iters=4):
