@@ -26,6 +26,7 @@ splitting the last axis at 48.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -257,6 +258,11 @@ def level_flow(p: Params, feat: jnp.ndarray,
     Returns flow [B, h, w, 4] = (flow_10_x, flow_10_y, flow_01_x, flow_01_y).
     """
     _, ssplat = _warp_fns(fast)
+    if fast and os.environ.get("FLDRX_LEVEL_SPLAT", "fast") == "exact":
+        # measurement gate: the coarse flow grids are <=288x512 — small
+        # enough that the strip-splat kernel's fixed per-launch costs may
+        # beat the exact XLA scatter's; A/B'd by probes/flowprobe.py.
+        ssplat = softsplat
     half = feat.shape[-1] // 2
     feat0 = feat[..., :half]
     feat1 = feat[..., half:]

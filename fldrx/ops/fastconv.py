@@ -41,7 +41,8 @@ def _rows_per_block(Wp8: int) -> int:
     return (_BH + 2) * Wp8 + 8          # +8 slack: junk-column tap overrun
 
 
-def _conv_kernel(Wp8, Cp, K, x_hbm, w_ref, b_ref, out_ref, xbuf, sem):
+def _conv_kernel(Wp8, Cp, K, emit_raw, x_hbm, w_ref, b_ref, out_ref, xbuf,
+                 sem):
     i = pl.program_id(0)
     n = pl.num_programs(0)
     rows = _rows_per_block(Wp8)
@@ -80,6 +81,15 @@ def _conv_kernel(Wp8, Cp, K, x_hbm, w_ref, b_ref, out_ref, xbuf, sem):
             s, w_ref[ky], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = contrib if acc is None else acc + contrib
+    if emit_raw:
+        # FLDRX_CONV_KX=xla: ship the ky-summed [N, 3K] f32 accumulator to
+        # HBM untouched; the kx shift-adds run as an XLA fused epilogue
+        # (offset reads fuse near-free there, while the in-kernel unaligned
+        # sublane slices below are Mosaic relayout copies). Strip overlap
+        # makes acc_i[N+j] == acc_{i+1}[j], so emitting rows [0, N) per
+        # strip loses nothing — bitwise the same sum, different place.
+        out_ref[...] = acc[:N]
+        return
     res = None
     for kx in range(3):
         part = acc[kx:kx + N, kx * K:(kx + 1) * K]
@@ -112,6 +122,13 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     if Cp != Cin:
         wk = jnp.pad(wk, ((0, 0), (0, Cp - Cin), (0, 0)))
     bk = b.astype(jnp.float32).reshape(1, K)
+    # FLDRX_CONV_KX=xla (measurement gate): the kernel emits the ky-summed
+    # [·, 3K] f32 accumulator and the kx shift-adds run as an XLA epilogue
+    # instead of in-kernel relayout slices. Requires 3 junk columns so the
+    # +2-row reads past the last real pixel stay in-bounds (Wp8 >= W+2 by
+    # construction; guard anyway).
+    kx_xla = (os.environ.get("FLDRX_CONV_KX", "kernel") == "xla"
+              and Wp8 - W >= 2)
     outs = []
     for bidx in range(B):
         xb = x[bidx]
@@ -122,16 +139,18 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         x2 = xp.reshape((H + 2) * Wp8, Cp)
         slack = _rows_per_block(Wp8) + (H - _BH) * Wp8 - (H + 2) * Wp8
         x2 = jnp.pad(x2, ((0, max(slack, 0)), (0, 0)))
+        out_cols = 3 * K if kx_xla else K
+        out_dt = jnp.float32 if kx_xla else out_dtype
         out = pl.pallas_call(
-            functools.partial(_conv_kernel, Wp8, Cp, K),
+            functools.partial(_conv_kernel, Wp8, Cp, K, kx_xla),
             grid=(H // _BH,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec((3, Cp, 3 * K), lambda i: (0, 0, 0)),
                 pl.BlockSpec((1, K), lambda i: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((_BH * Wp8, K), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((H * Wp8, K), out_dtype),
+            out_specs=pl.BlockSpec((_BH * Wp8, out_cols), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((H * Wp8, out_cols), out_dt),
             scratch_shapes=[
                 pltpu.VMEM((2, _rows_per_block(Wp8), Cp), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -141,6 +160,12 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                 vmem_limit_bytes=127 * 1024 * 1024),
             interpret=_INTERPRET,
         )(x2, wk, bk)
+        if kx_xla:
+            HWr = H * Wp8
+            y = jnp.pad(out, ((0, 2), (0, 0)))
+            res = (y[0:HWr, 0:K] + y[1:HWr + 1, K:2 * K]
+                   + y[2:HWr + 2, 2 * K:3 * K] + bk)
+            out = res.astype(out_dtype)
         out = out.reshape(H, Wp8, K)[:, :W]
         outs.append(out)
     return jnp.stack(outs, 0)

@@ -44,9 +44,15 @@ def probe(name, H, W, Cin, K):
 
 
 def main():
-    probe("enc1", 576, 1024, 416, 64)     # quarter grid, s2d4 input
-    probe("dec3", 576, 1024, 256, 96)     # output head
-    probe("enc3", 288, 512, 128, 64)      # eighth grid
+    for mode in ("kernel", "xla"):
+        # kx shift-add placement A/B: in-kernel relayout slices vs the XLA
+        # fused epilogue (FLDRX_CONV_KX; read at trace time — each probe()
+        # call jits a fresh closure, so flipping the env between loops works)
+        os.environ["FLDRX_CONV_KX"] = mode
+        print(f"--- FLDRX_CONV_KX={mode}", flush=True)
+        probe("enc1", 576, 1024, 416, 64)     # quarter grid, s2d4 input
+        probe("dec3", 576, 1024, 256, 96)     # output head
+        probe("enc3", 288, 512, 128, 64)      # eighth grid
 
 
 if __name__ == "__main__":

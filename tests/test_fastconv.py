@@ -49,3 +49,20 @@ def test_conv3x3_pixrows_unet_shapes():
     out = fastconv.conv3x3_pixrows(x, w, b)
     assert out.shape == (1, 16, 32, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv3x3_kx_xla_mode_bitwise(monkeypatch):
+    """FLDRX_CONV_KX=xla (kx shift-adds as an XLA epilogue) must be bitwise
+    equal to the in-kernel form: same ky-summed f32 accumulator, same kx
+    add order, same bias/cast — only where the adds run differs."""
+    from fldrx.ops import fastconv
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 16, 30, 20).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.randn(3, 3, 20, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    monkeypatch.setenv("FLDRX_CONV_KX", "kernel")
+    a = np.asarray(fastconv.conv3x3_pixrows(x, w, b))
+    monkeypatch.setenv("FLDRX_CONV_KX", "xla")
+    c = np.asarray(fastconv.conv3x3_pixrows(x, w, b))
+    np.testing.assert_array_equal(a, c)
