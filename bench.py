@@ -86,7 +86,7 @@ def main():
     dtype = os.environ.get("FLDRX_BENCH_DTYPE", "bfloat16")
     flow_dtype = os.environ.get("FLDRX_BENCH_FLOW_DTYPE", "float32")
     unet_dtype = os.environ.get("FLDRX_BENCH_UNET_DTYPE", "")
-    tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "3"))
+    tchunk = int(os.environ.get("FLDRX_BENCH_T_CHUNK", "4"))
     # planes_out (default on, r4-measured 4.598 vs 4.577): skip the device
     # interleave kernel; eval consumers unpack on host worker threads
     # (bit-equal layout change — see config.py)
@@ -135,10 +135,11 @@ def main():
     multiple = int(os.environ.get("FLDRX_BENCH_MULTIPLE", "8"))
     t_values = np.linspace(1 / multiple, 1 - 1 / multiple, multiple - 1)
 
-    # "multi" batches the t-values into chunked jitted programs. Measured:
-    # chunk 1 (per-t) 2.53 fps, chunk 2 → 2.61, chunk 3 → 2.64, chunk 4 →
-    # 2.50 (memory pressure degrades the schedule; 7 at once OOMs — the
-    # side-effecting warp kernels pin their buffers).
+    # "multi" batches the t-values into chunked jitted programs. r2 sweep:
+    # chunk 1 (per-t) 2.53 fps, 2 → 2.61, 3 → 2.64, 4 → 2.50 (memory
+    # pressure; 7 at once OOMs — the side-effecting warp kernels pin their
+    # buffers). r4 re-sweep after planes_out/u8/blend24 freed HBM:
+    # 2 → 4.633, 3 → 4.653, 4 → 4.698 — chunk 4 is the default now.
     mode = os.environ.get("FLDRX_BENCH_MODE", "multi")
 
     def measure():

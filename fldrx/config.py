@@ -78,9 +78,10 @@ class FLDRConfig:
     multiple: int = 8
     # t-values per chunked multi-t synthesis program (evaluator/bench/API):
     # one jitted program synthesizes t_chunk frames per launch, sharing the
-    # pair's flow. Sweep on v5e 4K: 1→2.53, 2→2.61, 3→2.64, 4→2.50 fps
-    # (beyond 3, memory pressure degrades the schedule).
-    t_chunk: int = 3
+    # pair's flow. r2 sweep on v5e 4K: 1→2.53, 2→2.61, 3→2.64, 4→2.50 fps
+    # (memory pressure). Re-swept r4 after planes_out/u8/blend24 freed HBM:
+    # 2→4.633, 3→4.653, 4→4.698 — chunk 4 now wins (7 = 4+3 per pair).
+    t_chunk: int = 4
     # return packed-path synthesis in u-plane form and unpack on the HOST
     # (the evaluator fetches frames anyway; a numpy memcpy on the metric
     # worker threads replaces ~12 ms/t of device interleave DMAs — pure
