@@ -288,6 +288,12 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
                 mets = [chunk_metrics(out, items_l[k:k + tchunk])
                         for out, k in zip(outs,
                                           range(0, len(ts), tchunk))]
+                if all(m is not None for m in mets):
+                    # metrics fully on-device: drop the frame buffers now
+                    # (finish() only needs the metric scalars) — otherwise
+                    # FLDRX_EVAL_DEFER holds ~266 MB of dead outputs per
+                    # deferred pair while the next pair synthesizes
+                    outs = None
             entry = (list(pending), outs, t0, mets, flow_fut)
         pending.clear()
         deferred.append(entry)
