@@ -37,18 +37,28 @@ _BH = 8   # image rows per grid step (r4 sweep: 8 = 19.1 ms enc1 pairconv;
           # BH ≥ 16 exceeds the 128 MB VMEM budget at 4K — frozen, no knob)
 
 
-def _rows_per_block(Wp8: int) -> int:
-    return (_BH + 2) * Wp8 + 8          # +8 slack: junk-column tap overrun
+def _align() -> int:
+    # FLDRX_CONV_ALIGN (measurement gate): padded-row-width alignment. 8 is
+    # sublane-aligned for f32 tiles; the input block is BF16, whose Mosaic
+    # tile is (16, 128) — with an 8-but-not-16-aligned row width the ky tap
+    # offsets (ky·Wp8) fall mid-tile and the slice is a relayout copy of the
+    # whole ~10 MB block per tap. 16 makes every ky offset tile-aligned.
+    # Bitwise-safe: the extra columns are zero pad and outputs crop to W.
+    return int(os.environ.get("FLDRX_CONV_ALIGN", "8"))
 
 
-def _conv_kernel(Wp8, Cp, K, emit_raw, x_hbm, w_ref, b_ref, out_ref, xbuf,
-                 sem):
+def _rows_per_block(Wp8: int, align: int) -> int:
+    return (_BH + 2) * Wp8 + align      # +align slack: junk-col tap overrun
+
+
+def _conv_kernel(Wp8, Cp, K, emit_raw, align, x_hbm, w_ref, b_ref, out_ref,
+                 xbuf, sem):
     i = pl.program_id(0)
     n = pl.num_programs(0)
-    rows = _rows_per_block(Wp8)
+    rows = _rows_per_block(Wp8, align)
 
     def dma(step, slot):
-        start = pl.multiple_of(step * _BH * Wp8, 8)
+        start = pl.multiple_of(step * _BH * Wp8, align)
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(start, rows)], xbuf.at[slot], sem.at[slot])
 
@@ -66,8 +76,8 @@ def _conv_kernel(Wp8, Cp, K, emit_raw, x_hbm, w_ref, b_ref, out_ref, xbuf,
     K = w_ref.shape[2] // 3
     acc = None
     for ky in range(3):
-        off = ky * Wp8                      # 8-aligned static slice
-        s = x0[off:off + N + 8]             # +8 rows: kx taps, 8-mult length
+        off = ky * Wp8                      # align-multiple static slice
+        s = x0[off:off + N + align]         # +align rows: kx-tap slack
         # one matmul per ky with the 3 kx weight blocks concatenated on the
         # output axis (3K lanes fill the MXU's 128-wide output; a K=64-wide
         # result wastes half of it). The ky contributions accumulate FULL
@@ -114,7 +124,8 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
         return (y + b.astype(y.dtype)).astype(out_dtype)
 
-    Wp8 = -(-(W + 2) // 8) * 8              # padded row width, 8-aligned
+    align = _align()
+    Wp8 = -(-(W + 2) // align) * align      # padded row width, align-mult
     Cp = -(-Cin // 128) * 128               # HBM slice lane alignment
     # [ky][Cin, 3K]: kx weight blocks concatenated on the output axis
     wk = jnp.transpose(w, (0, 2, 1, 3)).reshape(3, Cin, 3 * K)
@@ -137,12 +148,12 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         xp = jnp.pad(xb, ((1, 1), (1, Wp8 - W - 1), (0, 0))
                      ).astype(jnp.bfloat16)
         x2 = xp.reshape((H + 2) * Wp8, Cp)
-        slack = _rows_per_block(Wp8) + (H - _BH) * Wp8 - (H + 2) * Wp8
+        slack = _rows_per_block(Wp8, align) + (H - _BH) * Wp8 - (H + 2) * Wp8
         x2 = jnp.pad(x2, ((0, max(slack, 0)), (0, 0)))
         out_cols = 3 * K if kx_xla else K
         out_dt = jnp.float32 if kx_xla else out_dtype
         out = pl.pallas_call(
-            functools.partial(_conv_kernel, Wp8, Cp, K, kx_xla),
+            functools.partial(_conv_kernel, Wp8, Cp, K, kx_xla, align),
             grid=(H // _BH,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -152,7 +163,8 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             out_specs=pl.BlockSpec((_BH * Wp8, out_cols), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((H * Wp8, out_cols), out_dt),
             scratch_shapes=[
-                pltpu.VMEM((2, _rows_per_block(Wp8), Cp), jnp.bfloat16),
+                pltpu.VMEM((2, _rows_per_block(Wp8, align), Cp),
+                           jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             compiler_params=pltpu.CompilerParams(

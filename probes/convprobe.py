@@ -44,15 +44,22 @@ def probe(name, H, W, Cin, K):
 
 
 def main():
-    for mode in ("kernel", "xla"):
-        # kx shift-add placement A/B: in-kernel relayout slices vs the XLA
-        # fused epilogue (FLDRX_CONV_KX; read at trace time — each probe()
-        # call jits a fresh closure, so flipping the env between loops works)
-        os.environ["FLDRX_CONV_KX"] = mode
-        print(f"--- FLDRX_CONV_KX={mode}", flush=True)
-        probe("enc1", 576, 1024, 416, 64)     # quarter grid, s2d4 input
-        probe("dec3", 576, 1024, 256, 96)     # output head
-        probe("enc3", 288, 512, 128, 64)      # eighth grid
+    for align in ("8", "16"):
+        # row-width padding alignment A/B: 16 makes the bf16 ky tap offsets
+        # (ky*Wp8) Mosaic-tile-aligned — the 8-default lands mid-(16,128)
+        # tile for odd ky, a relayout copy of the whole input block per tap
+        for mode in ("kernel", "xla"):
+            # kx shift-add placement A/B: in-kernel relayout slices vs the
+            # XLA fused epilogue (FLDRX_CONV_KX; both read at trace time —
+            # each probe() call jits a fresh closure, so flipping the env
+            # between loops works)
+            os.environ["FLDRX_CONV_ALIGN"] = align
+            os.environ["FLDRX_CONV_KX"] = mode
+            print(f"--- FLDRX_CONV_ALIGN={align} FLDRX_CONV_KX={mode}",
+                  flush=True)
+            probe("enc1", 576, 1024, 416, 64)     # quarter grid, s2d4 input
+            probe("dec3", 576, 1024, 256, 96)     # output head
+            probe("enc3", 288, 512, 128, 64)      # eighth grid
 
 
 if __name__ == "__main__":

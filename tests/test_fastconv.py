@@ -51,6 +51,24 @@ def test_conv3x3_pixrows_unet_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_conv3x3_align16_bitwise(monkeypatch):
+    """FLDRX_CONV_ALIGN=16 (bf16-tile-aligned ky tap offsets) must be
+    bitwise equal to the align=8 default: the extra row-width columns are
+    zero pad that never reaches a kept output (crop to W)."""
+    from fldrx.ops import fastconv
+
+    rng = np.random.RandomState(3)
+    # W chosen so align=8 and align=16 give DIFFERENT padded widths
+    x = jnp.asarray(rng.randn(1, 16, 30, 20).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.randn(3, 3, 20, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    monkeypatch.delenv("FLDRX_CONV_ALIGN", raising=False)
+    a = np.asarray(fastconv.conv3x3_pixrows(x, w, b))
+    monkeypatch.setenv("FLDRX_CONV_ALIGN", "16")
+    c = np.asarray(fastconv.conv3x3_pixrows(x, w, b))
+    np.testing.assert_array_equal(a, c)
+
+
 def test_conv3x3_kx_xla_mode_bitwise(monkeypatch):
     """FLDRX_CONV_KX=xla (kx shift-adds as an XLA epilogue) must be bitwise
     equal to the in-kernel form: same ky-summed f32 accumulator, same kx
