@@ -29,6 +29,7 @@ bake in. We reproduce exactly: see `block_pca_features`.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,18 +76,54 @@ def block_pca_features(frames: jnp.ndarray, mean: jnp.ndarray, ev: jnp.ndarray,
     assert T == 2
     cd = compute_dtype
     x = frames.astype(cd)
-    # [B,2,H,W,C] -> [B,C,2,H,W] to get channel order (c, t)
-    xc = jnp.transpose(x, (0, 4, 1, 2, 3))
-    b = blocks_from_images(xc, wiS)                 # [B,C,2,hb,wb,64]
-    # HIGHEST precision: the reference computes this projection in f64; bf16
-    # MXU accumulation would dominate the f32-vs-f64 tolerance budget.
-    proj = jnp.einsum("...k,nk->...n", b - mean.astype(cd), ev.astype(cd),
-                      precision=jax.lax.Precision.HIGHEST)
-    proj = proj / mean_vec.astype(cd)               # [B,C,2,hb,wb,nf]
-    # channel = c*(2*nf) + t*nf + comp
     nf = ev.shape[0]
     hb, wb = H // wiS, W // wiS
-    feat = jnp.transpose(proj, (0, 3, 4, 1, 2, 5)).reshape(B, hb, wb, C * 2 * nf)
+    if os.environ.get("FLDRX_PCA_LAYOUT", "legacy") == "sumky":
+        # Transpose-free formulation (measurement gate): the legacy path
+        # pays two image-scale relayouts per level (NHWC→channel-major, then
+        # the block moveaxis — the class of 4K transposes PROFILE.md prices
+        # at 10-35 ms each). Here every reshape is a free minor-dim split:
+        # the blocks' ky axis is peeled as 8 row-slices and each contributes
+        # ONE [.., wiS·C] @ [wiS·C, C·nf] block-diagonal matmul (the kx taps
+        # and the channel-preserving identity live in the weight). Same
+        # affine map as (block − mean)@EVᵀ distributed over the sum — f32
+        # HIGHEST either way; only the summation association differs (~ulp).
+        evr = ev.astype(cd).reshape(nf, wiS, wiS)        # [n, ky, kx]
+        eyeC = jnp.eye(C, dtype=cd)
+        proj = None
+        x6 = x.reshape(B, T, hb, wiS, wb, wiS * C)
+        for ky in range(wiS):
+            xk = x6[:, :, :, ky]                         # [B,T,hb,wb,wiS*C]
+            # Wk[(kx*C + c), (c2*nf + n)] = evr[n, ky, kx] · δ(c, c2)
+            wk = (evr[:, ky, :].T[:, None, None, :]      # [kx, 1, 1, n]
+                  * eyeC[None, :, :, None])              # → [kx, c, c2, n]
+            wk = wk.reshape(wiS * C, C * nf)
+            p = jax.lax.dot_general(xk, wk, (((4,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST)
+            proj = p if proj is None else proj + p       # [B,T,hb,wb,C*nf]
+        mproj = jnp.einsum("k,nk->n", mean.astype(cd), ev.astype(cd),
+                           precision=jax.lax.Precision.HIGHEST)
+        proj = proj - jnp.tile(mproj, C)
+        proj = proj / jnp.tile(mean_vec.astype(cd), C)
+        # channel (c2*nf + n) per t → target c*(2·nf) + t*nf + n: one
+        # feature-grid-scale transpose (≈ H·W/64 elements — cheap)
+        feat = jnp.transpose(proj.reshape(B, T, hb, wb, C, nf),
+                             (0, 2, 3, 4, 1, 5)).reshape(B, hb, wb,
+                                                         C * 2 * nf)
+    else:
+        # [B,2,H,W,C] -> [B,C,2,H,W] to get channel order (c, t)
+        xc = jnp.transpose(x, (0, 4, 1, 2, 3))
+        b = blocks_from_images(xc, wiS)                 # [B,C,2,hb,wb,64]
+        # HIGHEST precision: the reference computes this projection in f64;
+        # bf16 MXU accumulation would dominate the f32-vs-f64 tolerance
+        # budget.
+        proj = jnp.einsum("...k,nk->...n", b - mean.astype(cd),
+                          ev.astype(cd),
+                          precision=jax.lax.Precision.HIGHEST)
+        proj = proj / mean_vec.astype(cd)               # [B,C,2,hb,wb,nf]
+        # channel = c*(2*nf) + t*nf + comp
+        feat = jnp.transpose(proj, (0, 3, 4, 1, 2, 5)).reshape(
+            B, hb, wb, C * 2 * nf)
     mi = jnp.min(feat)
     ma = jnp.max(feat)
     feat = (feat - mi) / (ma - mi)

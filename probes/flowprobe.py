@@ -4,6 +4,7 @@ measurement gates:
 
   - FLDRX_WIDE_RESIZE 0/1  (flat-wide narrow-C resize form)
   - FLDRX_LEVEL_SPLAT fast/exact (coarse-level feature splat impl)
+  - FLDRX_PCA_LAYOUT legacy/sumky (transpose-free PCA blocking)
 
 Each combo builds a fresh Interpolator (the compiled-fn cache is keyed on
 shape only; env gates are read at trace time). Scalar-fetch fenced.
@@ -47,6 +48,10 @@ def main():
         {"FLDRX_WIDE_RESIZE": "0", "FLDRX_LEVEL_SPLAT": "fast"},
         {"FLDRX_WIDE_RESIZE": "1", "FLDRX_LEVEL_SPLAT": "fast"},
         {"FLDRX_WIDE_RESIZE": "1", "FLDRX_LEVEL_SPLAT": "exact"},
+        {"FLDRX_WIDE_RESIZE": "0", "FLDRX_LEVEL_SPLAT": "exact",
+         "FLDRX_PCA_LAYOUT": "legacy"},
+        {"FLDRX_WIDE_RESIZE": "0", "FLDRX_LEVEL_SPLAT": "exact",
+         "FLDRX_PCA_LAYOUT": "sumky"},
     ]
     for env in combos:
         os.environ.update(env)

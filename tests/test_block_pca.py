@@ -161,3 +161,21 @@ def test_fit_pca_multi_from_batch():
     # one-EV: only the shared fit
     out1 = fit_pca_from_batch(frames, papermodel())
     assert set(out1) == {"pca"}
+
+
+def test_block_pca_sumky_layout_equivalent(monkeypatch):
+    """FLDRX_PCA_LAYOUT=sumky (transpose-free ky-sum formulation) computes
+    the same affine map as the legacy blocked einsum — only the f32
+    summation association differs (~ulp)."""
+    from fldrx.ops import block_pca as bp
+
+    rng = np.random.RandomState(7)
+    frames = jnp.asarray(rng.randn(2, 2, 48, 64, 3).astype(np.float32) * 0.5)
+    mean = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    ev = jnp.asarray(rng.randn(16, 64).astype(np.float32) * 0.3)
+    mv = jnp.asarray(np.abs(rng.randn(16)).astype(np.float32) + 0.5)
+    monkeypatch.delenv("FLDRX_PCA_LAYOUT", raising=False)
+    a = np.asarray(bp.block_pca_features(frames, mean, ev, mv))
+    monkeypatch.setenv("FLDRX_PCA_LAYOUT", "sumky")
+    b = np.asarray(bp.block_pca_features(frames, mean, ev, mv))
+    np.testing.assert_allclose(a, b, atol=2e-6)
