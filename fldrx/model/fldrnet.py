@@ -257,12 +257,12 @@ def level_flow(p: Params, feat: jnp.ndarray,
     (fLDRnet.py:368) — a frame-mixing split the trained weights expect.
     Returns flow [B, h, w, 4] = (flow_10_x, flow_10_y, flow_01_x, flow_01_y).
     """
-    _, ssplat = _warp_fns(fast)
-    if fast and os.environ.get("FLDRX_LEVEL_SPLAT", "fast") == "exact":
-        # measurement gate: the coarse flow grids are <=288x512 — small
-        # enough that the strip-splat kernel's fixed per-launch costs may
-        # beat the exact XLA scatter's; A/B'd by probes/flowprobe.py.
-        ssplat = softsplat
+    # coarse-level feature splats always use the exact XLA scatter, even in
+    # fast_warp mode: the flow grids here are <=288x512, small enough that
+    # the strip-splat kernel's fixed per-launch costs lose (r4-measured:
+    # 192.8 vs 205.0 ms/pair flow stage; end-to-end 4.695 vs 4.696 alone,
+    # 4.723 composed with the naive-einsum resize — queue_results.log R4H).
+    ssplat = softsplat
     half = feat.shape[-1] // 2
     feat0 = feat[..., :half]
     feat1 = feat[..., half:]

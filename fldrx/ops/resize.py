@@ -95,38 +95,6 @@ def resize_matrix(in_size: int, out_size: int, mode: str = "bicubic",
     )
 
 
-def _resize_2d_wide(x: jnp.ndarray, out_h: int, out_w: int, mode: str,
-                    align_corners: bool, dt) -> jnp.ndarray:
-    """Flat-wide form of the separable resize, for narrow-C tensors.
-
-    The naive einsum pair leaves C (=2 or 3 here) as the minormost dim of
-    every operand and result; on TPU that costs lane padding plus a
-    narrow-minor transpose of the full tensor around the W contraction
-    (measured 10-35 ms per 4K tensor — PROFILE.md). This form keeps every
-    materialized tensor flat-wide:
-        [.., H, W·C] --Wh--> [.., oh, W·C]    (wide K=H contraction)
-        transpose/reshape -> [.., W, C·oh]    (wide 2D transpose, HBM-bound)
-        --Ww-->              [.., ow, C·oh]   (wide K=W contraction)
-        transpose/reshape -> [.., oh, ow, C]
-    Same interpolation matrices, same contraction order over the same K
-    terms, same HIGHEST precision — bitwise-equal to the naive form
-    (tests/test_resize.py pins it)."""
-    lead = x.shape[:-3]
-    H, W, C = x.shape[-3], x.shape[-2], x.shape[-1]
-    B = 1
-    for d in lead:
-        B *= d
-    hp = jax.lax.Precision.HIGHEST
-    Wh = resize_matrix(H, out_h, mode, align_corners, dtype=dt)
-    Ww = resize_matrix(W, out_w, mode, align_corners, dtype=dt)
-    xf = x.astype(dt).reshape(B, H, W * C)
-    t1 = jnp.einsum("oh,bhk->bok", Wh, xf, precision=hp)     # [B, oh, W·C]
-    t1 = jnp.swapaxes(t1, 1, 2).reshape(B, W, C * out_h)     # [B, W, C·oh]
-    t2 = jnp.einsum("pw,bwm->bpm", Ww, t1, precision=hp)     # [B, ow, C·oh]
-    t2 = jnp.swapaxes(t2.reshape(B, out_w * C, out_h), 1, 2)  # [B, oh, ow·C]
-    return t2.reshape(*lead, out_h, out_w, C)
-
-
 def resize_2d(x: jnp.ndarray, out_hw, mode: str = "bicubic",
               align_corners: bool = False) -> jnp.ndarray:
     """Resize an NHWC (or ...HWC) tensor to `out_hw = (H', W')`.
@@ -134,23 +102,20 @@ def resize_2d(x: jnp.ndarray, out_hw, mode: str = "bicubic",
     Equivalent to torch.nn.functional.interpolate(x_nchw, size=out_hw,
     mode=mode, align_corners=align_corners) up to float accumulation order.
 
-    (A constant-tap strided-slice stencil variant for integer factors was
-    built and TPU-measured in round 4: 4.548 vs 4.577 fps end-to-end — the
-    dense-matmul form wins, so the stencil path was removed.)
+    (Two alternative forms were built and TPU-measured in round 4 and lost
+    to this naive einsum pair end-to-end: a constant-tap strided-slice
+    stencil for integer factors (4.548 vs 4.577 fps) and a flat-wide
+    narrow-C form that avoided the narrow-minor transposes (bitwise-equal,
+    but 205.0 vs 192.2 ms/pair at the flow stage and 4.696 vs 4.713 fps
+    end-to-end — XLA fuses the narrow-minor transposes into the einsums
+    better than the explicit wide 2D transposes). Both removed; git
+    history keeps them.)
     """
     H, W = x.shape[-3], x.shape[-2]
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     if (out_h, out_w) == (H, W):
         return x
     dt = x.dtype if x.dtype in (jnp.float32, jnp.float64, jnp.bfloat16) else jnp.float32
-    C = x.shape[-1]
-    # narrow-C tensors (frames C=3, flow C=2) route through the flat-wide
-    # form above whenever the work is big enough to care; wide-C tensors
-    # (features) keep the naive einsums, whose operands are already wide.
-    if (C <= 4 and H * W >= 128 * 128
-            and bool(int(os.environ.get("FLDRX_WIDE_RESIZE", "1")))):
-        y = _resize_2d_wide(x, out_h, out_w, mode, align_corners, dt)
-        return y.astype(x.dtype) if x.dtype == jnp.float32 else y
     Wh = resize_matrix(H, out_h, mode, align_corners, dtype=dt)
     Ww = resize_matrix(W, out_w, mode, align_corners, dtype=dt)
     # precision=HIGHEST: the MXU's default bf16 matmul costs ~1e-2 error which

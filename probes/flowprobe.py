@@ -2,9 +2,11 @@
 coarse levels + full-res upscales + z metrics) at 4K under the current
 measurement gates:
 
-  - FLDRX_WIDE_RESIZE 0/1  (flat-wide narrow-C resize form)
-  - FLDRX_LEVEL_SPLAT fast/exact (coarse-level feature splat impl)
   - FLDRX_PCA_LAYOUT legacy/sumky (transpose-free PCA blocking)
+
+(The WIDE_RESIZE / LEVEL_SPLAT gates this probe decided in R4F/R4H are
+resolved: naive-einsum resize + exact coarse-level splat are now the only
+paths — queue_results.log R4H-1..4.)
 
 Each combo builds a fresh Interpolator (the compiled-fn cache is keyed on
 shape only; env gates are read at trace time). Scalar-fetch fenced.
@@ -45,13 +47,10 @@ def main():
     frames = natural_frames(H, W)
 
     combos = [
-        {"FLDRX_WIDE_RESIZE": "0", "FLDRX_LEVEL_SPLAT": "fast"},
-        {"FLDRX_WIDE_RESIZE": "1", "FLDRX_LEVEL_SPLAT": "fast"},
-        {"FLDRX_WIDE_RESIZE": "1", "FLDRX_LEVEL_SPLAT": "exact"},
-        {"FLDRX_WIDE_RESIZE": "0", "FLDRX_LEVEL_SPLAT": "exact",
-         "FLDRX_PCA_LAYOUT": "legacy"},
-        {"FLDRX_WIDE_RESIZE": "0", "FLDRX_LEVEL_SPLAT": "exact",
-         "FLDRX_PCA_LAYOUT": "sumky"},
+        {"FLDRX_PCA_LAYOUT": "legacy"},
+        {"FLDRX_PCA_LAYOUT": "sumky"},
+        {"FLDRX_PCA_LAYOUT": "legacy"},   # ABAB control for relay drift
+        {"FLDRX_PCA_LAYOUT": "sumky"},
     ]
     for env in combos:
         os.environ.update(env)

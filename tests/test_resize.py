@@ -51,23 +51,6 @@ def test_resize_identity():
     np.testing.assert_array_equal(got, x)
 
 
-@pytest.mark.parametrize("mode", ["bicubic", "bilinear"])
-@pytest.mark.parametrize("shape", [(2, 256, 384, 3), (1, 144, 256, 2)])
-def test_resize_wide_form_bitwise(monkeypatch, mode, shape):
-    """The flat-wide narrow-C form (_resize_2d_wide) must be BITWISE equal
-    to the naive einsum pair: same matrices, same contraction order over
-    the same K terms, same precision — only the layouts differ."""
-    rng = np.random.RandomState(3)
-    x = rng.randn(*shape).astype(np.float32)
-    H, W = shape[1], shape[2]
-    for oh, ow in ((H // 2, W // 2), (H * 2, W * 2), (H // 4 * 3, W // 4 * 3)):
-        monkeypatch.setenv("FLDRX_WIDE_RESIZE", "1")
-        wide = np.asarray(resize_2d(jnp.asarray(x), (oh, ow), mode, False))
-        monkeypatch.setenv("FLDRX_WIDE_RESIZE", "0")
-        naive = np.asarray(resize_2d(jnp.asarray(x), (oh, ow), mode, False))
-        np.testing.assert_array_equal(wide, naive)
-
-
 def test_resize_matches_torch_scale_factor_chain():
     """The driver builds the pyramid with scale_factor=8/s_i on 256-divisible
     sizes (main.py:855-856) — exactness there is the parity-critical case."""
