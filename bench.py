@@ -142,7 +142,9 @@ def main():
     # 2 → 4.633, 3 → 4.653, 4 → 4.698 — chunk 4 is the default now.
     mode = os.environ.get("FLDRX_BENCH_MODE", "multi")
 
-    def measure():
+    def dispatch():
+        """Enqueue one pair's full flow+synthesis; returns the last output
+        WITHOUT fetching (JAX async dispatch — device work proceeds)."""
         flow, padded, extras = interp.precompute_flow(frames_j)
         if mode == "multi":
             # t-values batched into jitted synthesis programs of `tchunk`
@@ -152,12 +154,15 @@ def main():
             for k in range(0, len(t_values), tchunk):
                 out = interp.synthesize_multi_at(
                     flow, padded, t_values[k:k + tchunk], (H, W), extras)
-            return float(jnp.sum(out[-1]))
+            return out[-1]
         out = None
         for tv in t_values:
             out = interp.synthesize_at(flow, padded, [[tv]], (H, W), extras)
-        return float(jnp.sum(out))     # device fence: block_until_ready can
-        # return early under relayed backends — force a scalar fetch
+        return out
+
+    def measure():
+        return float(jnp.sum(dispatch()))  # device fence: block_until_ready
+        # can return early under relayed backends — force a scalar fetch
 
     if os.environ.get("FLDRX_BENCH_SPILLS"):
         # spill-tier visibility: how many 32x32 tiles of each warp call fall
@@ -198,9 +203,24 @@ def main():
 
     measure()                          # warm-up / compile
     iters = int(os.environ.get("FLDRX_BENCH_ITERS", "3"))
+    overlap = bool(int(os.environ.get("FLDRX_BENCH_OVERLAP", "0")))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        measure()
+    if overlap:
+        # pair-overlap protocol: dispatch pair i+1 BEFORE fencing pair i, so
+        # the host's per-jit-call relay dispatch (~3-5 ms x ~3 calls/pair)
+        # hides under device compute instead of idling the chip between
+        # pairs. Device work is identical; the fence moves one pair later.
+        # (This mirrors the evaluator's FLDRX_EVAL_DEFER dispatch order.)
+        prev = None
+        for _ in range(iters):
+            cur = dispatch()
+            if prev is not None:
+                float(jnp.sum(prev))   # fence pair i-1 while pair i runs
+            prev = cur
+        float(jnp.sum(prev))           # drain the last pair
+    else:
+        for _ in range(iters):
+            measure()
     dt = time.perf_counter() - t0
 
     fps = iters * len(t_values) / dt
