@@ -90,6 +90,13 @@ class FLDRConfig:
     # measured neutral twice — r3 4.23 vs 4.28, r4 4.577 vs 4.577 — and
     # removed.)
     planes_out: bool = True
+    # PCA min-max reduction scope: False = batch-wide (the reference's
+    # pca_comp.py:521-526 semantics — required for train parity, where the
+    # reference runs batch 8). True = per batch item; bitwise-identical at
+    # B=1 and exactly what reference batch=1 EVAL produces per pair — the
+    # correct setting when several independent frame pairs are batched
+    # through one eval program (FLDRX_BENCH_PAIRS / pair-batched eval).
+    per_item_minmax: bool = False
     padding: str = "reflect"          # pcanet → reflect (main.py:273)
     dataset: str = "X4K1000FPS"
     testsets: Tuple[str, ...] = ("Inter4K-S", "Inter4K-L", "X4K1000FPS", "Xiph-4K")

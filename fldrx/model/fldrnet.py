@@ -852,6 +852,7 @@ def extract_features(params: Params, cfg: FLDRConfig,
         f = block_pca_features(
             pyramid[i], pca["mean"], pca["ev"], pca["mean_vec"],
             wiS=cfg.wiS, compute_dtype=jnp.float32,
+            per_item_minmax=getattr(cfg, "per_item_minmax", False),
         ).astype(compute_dtype)
         r = relu(conv2d(params["rec_ctx"]["conv0"], f))
         r = relu(conv2d(params["rec_ctx"]["conv1"], r))

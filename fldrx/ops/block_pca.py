@@ -63,7 +63,8 @@ def blocks_from_images(x: jnp.ndarray, wiS: int = 8) -> jnp.ndarray:
 
 def block_pca_features(frames: jnp.ndarray, mean: jnp.ndarray, ev: jnp.ndarray,
                        mean_vec: jnp.ndarray, wiS: int = 8,
-                       compute_dtype=jnp.float32) -> jnp.ndarray:
+                       compute_dtype=jnp.float32,
+                       per_item_minmax: bool = False) -> jnp.ndarray:
     """to_pca_diff equivalent.
 
     frames: [B, 2, H, W, C] in [-1,1] (two input frames, NHWC)
@@ -71,6 +72,13 @@ def block_pca_features(frames: jnp.ndarray, mean: jnp.ndarray, ev: jnp.ndarray,
     returns [B, H/wiS, W/wiS, C*2*nf] with channel = c*(2*nf) + t*nf + comp,
     globally min-max normalised to [-1,1] over the whole output tensor
     (including the batch axis — reference pca_comp.py:521-526).
+
+    per_item_minmax: reduce min/max per batch item instead of batch-wide.
+    Bitwise-identical at B=1 (min/max are order-independent); at B>1 it is
+    what the reference computes when fed the same items one at a time
+    (eval uses batch=1, main.py:132-151) — the switch exists so
+    pair-batched eval (several independent frame pairs in one program)
+    reproduces per-pair reference outputs exactly.
     """
     B, T, H, W, C = frames.shape
     assert T == 2
@@ -124,8 +132,13 @@ def block_pca_features(frames: jnp.ndarray, mean: jnp.ndarray, ev: jnp.ndarray,
         # channel = c*(2*nf) + t*nf + comp
         feat = jnp.transpose(proj, (0, 3, 4, 1, 2, 5)).reshape(
             B, hb, wb, C * 2 * nf)
-    mi = jnp.min(feat)
-    ma = jnp.max(feat)
+    if per_item_minmax:
+        axes = tuple(range(1, feat.ndim))
+        mi = jnp.min(feat, axis=axes, keepdims=True)
+        ma = jnp.max(feat, axis=axes, keepdims=True)
+    else:
+        mi = jnp.min(feat)
+        ma = jnp.max(feat)
     feat = (feat - mi) / (ma - mi)
     return feat * 2.0 - 1.0
 

@@ -179,3 +179,26 @@ def test_block_pca_sumky_layout_equivalent(monkeypatch):
     monkeypatch.setenv("FLDRX_PCA_LAYOUT", "sumky")
     b = np.asarray(bp.block_pca_features(frames, mean, ev, mv))
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_block_pca_per_item_minmax():
+    """per_item_minmax=True: B=1 is bitwise-identical to the default, and a
+    B=2 batch reproduces each item's standalone (B=1) features exactly —
+    the contract that makes pair-batched eval parity-safe."""
+    from fldrx.ops import block_pca as bp
+
+    rng = np.random.RandomState(11)
+    frames = jnp.asarray(rng.randn(2, 2, 48, 64, 3).astype(np.float32) * 0.5)
+    mean = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
+    ev = jnp.asarray(rng.randn(16, 64).astype(np.float32) * 0.3)
+    mv = jnp.asarray(np.abs(rng.randn(16)).astype(np.float32) + 0.5)
+    one = frames[0:1]
+    base = np.asarray(bp.block_pca_features(one, mean, ev, mv))
+    per1 = np.asarray(bp.block_pca_features(one, mean, ev, mv,
+                                            per_item_minmax=True))
+    np.testing.assert_array_equal(base, per1)
+    batched = np.asarray(bp.block_pca_features(frames, mean, ev, mv,
+                                               per_item_minmax=True))
+    for i in range(2):
+        solo = np.asarray(bp.block_pca_features(frames[i:i + 1], mean, ev, mv))
+        np.testing.assert_array_equal(batched[i:i + 1], solo)
