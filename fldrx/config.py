@@ -122,8 +122,11 @@ class FLDRConfig:
     # until the single final depth-to-space. Numerically identical to the
     # plain fast path (layout permutation only). Requires fast_warp.
     packed_synth: bool = True
-    # Training via the warp engine's custom VJPs: measured 2.16 s/step vs
-    # 3.75 s on the XLA ops (batch 8, 512², v5e). Default ON — training is
+    # Training via the warp engine's custom VJPs: r2-measured 2.16 s/step vs
+    # 3.75 s on the XLA ops; re-measured r4 after the kernel work at
+    # 1.663 s/step = 4.81 samples/s (batch 8, 512², v5e —
+    # probes/trainprobe.py; cold compile 2416 s, then persistent-cached).
+    # Default ON — training is
     # exactly the long run where steady-state speed dominates; the first
     # compile takes tens of minutes through the remote TPU compiler but is
     # cached persistently (~/.cache/fldrx/xla) across processes. Set False
