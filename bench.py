@@ -91,10 +91,14 @@ def main():
     # interleave kernel; eval consumers unpack on host worker threads
     # (bit-equal layout change — see config.py)
     planes = bool(int(os.environ.get("FLDRX_BENCH_PLANES_OUT", "1")))
+    # pair-batched runs measure the production-correct config: per-item PCA
+    # min-max (exact reference batch=1 per-pair semantics; see config.py)
+    pairs = int(os.environ.get("FLDRX_BENCH_PAIRS", "1"))
     cfg = papermodel_test5().replace(compute_dtype=dtype, t_chunk=tchunk,
                                      flow_dtype=flow_dtype,
                                      unet_dtype=unet_dtype,
-                                     planes_out=planes)
+                                     planes_out=planes,
+                                     per_item_minmax=pairs > 1)
     try:
         interp, cfg, _ = prepare_model(DEFAULT_NPZ, cfg)
     except FileNotFoundError:
@@ -126,7 +130,6 @@ def main():
     # (per-launch overheads and the tiny coarse-grid ops amortize across the
     # batch; the 4K stages scale linearly). Distinct content per pair so the
     # flow fields and spill-tier behavior stay realistic.
-    pairs = int(os.environ.get("FLDRX_BENCH_PAIRS", "1"))
     if pairs > 1:
         reps = [frames]
         for p in range(1, pairs):
