@@ -133,7 +133,14 @@ def main():
     if pairs > 1:
         reps = [frames]
         for p in range(1, pairs):
-            reps.append(np.flip(frames, axis=(2, 3)) if p % 2 else frames)
+            # distinct content per replica: a p-dependent column roll plus a
+            # flip on odd p (a plain p%2 alternation would make pair 2
+            # bit-identical to pair 0 — duplicated flow fields and spill
+            # tiers are an unrealistically easy case)
+            rep = np.roll(frames, 97 * p, axis=3)
+            if p % 2:
+                rep = np.flip(rep, axis=(2, 3))
+            reps.append(rep)
         frames = np.concatenate(reps, 0)
     if bool(int(os.environ.get("FLDRX_BENCH_U8", "1"))):  # default on
         # (r4-measured 4.587 vs 4.577; real eval frames are uint8 anyway)

@@ -26,7 +26,6 @@ splitting the last axis at 48.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax

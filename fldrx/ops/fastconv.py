@@ -44,7 +44,14 @@ def _align() -> int:
     # offsets (ky·Wp8) fall mid-tile and the slice is a relayout copy of the
     # whole ~10 MB block per tap. 16 makes every ky offset tile-aligned.
     # Bitwise-safe: the extra columns are zero pad and outputs crop to W.
-    return int(os.environ.get("FLDRX_CONV_ALIGN", "8"))
+    a = int(os.environ.get("FLDRX_CONV_ALIGN", "8"))
+    # the kernel hard-requires align>=2 (kx-tap overrun slack) and a
+    # multiple of 8 (sublane-aligned ky slices); bad values would die with
+    # an opaque Mosaic trace error deep in a chip run
+    if a < 8 or a % 8:
+        raise ValueError(f"FLDRX_CONV_ALIGN must be a multiple of 8 >= 8 "
+                         f"(got {a}); measured values: 8 (default), 16")
+    return a
 
 
 def _rows_per_block(Wp8: int, align: int) -> int:

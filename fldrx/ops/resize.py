@@ -21,7 +21,6 @@ to the valid range (replicate), matching `upsample_bicubic2d`.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp

@@ -37,6 +37,13 @@ def main():
          dict(fast_warp=True, packed_synth=True,
               compute_dtype="bfloat16")),
     ]
+    # FLDRX_GOLDEN_CONFIGS=deploy: only the deploy (fast mixed) config —
+    # the cheap per-measurement-batch quality gate; every adopted default
+    # flip gets its −Δ dB logged next to its +Δ fps in queue_results.log
+    import os
+    sel = os.environ.get("FLDRX_GOLDEN_CONFIGS", "all")
+    if sel == "deploy":
+        configs = [configs[2]]
     for name, over in configs:
         cfg = papermodel_test5().replace(**over)
         interp, cfg, _ = prepare_model(DEFAULT_NPZ, cfg)
@@ -47,7 +54,6 @@ def main():
     # FLDRX_GOLDEN_FAMILIES=1: also report the extra scene families
     # (affine/thin/flat — tests/test_goldenclip.py pins them on CPU) at 4K
     # for the strict and deploy configs, for PARITY.md
-    import os
     if bool(int(os.environ.get("FLDRX_GOLDEN_FAMILIES", "0"))):
         from fldrx.eval.goldenclip import GOLDEN_FAMILIES
         for name, over in (configs[0], configs[2]):

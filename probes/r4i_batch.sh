@@ -10,7 +10,7 @@
 #   3. defaults bench       (confirm the post-flip headline from pure defaults)
 #   4. bench OVERLAP=1      (pair-overlap dispatch protocol A/B)
 #   5. flowprobe            (FLDRX_PCA_LAYOUT legacy/sumky ABAB)
-#   6. bench CONV_ALIGN=1   (bf16-tile-aligned ky tap offsets, end-to-end)
+#   6. bench CONV_ALIGN=16   (bf16-tile-aligned ky tap offsets, end-to-end)
 # Appends to queue_results.log; serialized (one chip).
 cd "$(dirname "$0")/.."
 if [ -f /tmp/r4h.pid ]; then
@@ -30,6 +30,6 @@ run "R4I-3. defaults bench (post R4H flip)" 2700 python bench.py
 run "R4I-4. bench OVERLAP=1 (pair-overlap dispatch)" 1800 \
     env FLDRX_BENCH_OVERLAP=1 python bench.py
 run "R4I-5. flowprobe PCA_LAYOUT ABAB" 3600 python -u probes/flowprobe.py
-run "R4I-6. bench CONV_ALIGN=1" 2700 \
-    env FLDRX_CONV_ALIGN=1 python bench.py
+run "R4I-6. bench CONV_ALIGN=16" 2700 \
+    env FLDRX_CONV_ALIGN=16 python bench.py
 echo "=== R4I batch done — $(date -u)" | tee -a "$LOG"
