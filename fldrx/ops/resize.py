@@ -21,6 +21,7 @@ to the valid range (replicate), matching `upsample_bicubic2d`.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -119,10 +120,16 @@ def resize_2d(x: jnp.ndarray, out_hw, mode: str = "bicubic",
     Ww = resize_matrix(W, out_w, mode, align_corners, dtype=dt)
     # precision=HIGHEST: the MXU's default bf16 matmul costs ~1e-2 error which
     # compounds across the 6-level pyramid; interpolation must stay f32-exact.
-    y = jnp.einsum("oh,...hwc->...owc", Wh, x.astype(dt),
-                   precision=jax.lax.Precision.HIGHEST)
-    y = jnp.einsum("pw,...owc->...opc", Ww, y,
-                   precision=jax.lax.Precision.HIGHEST)
+    # FLDRX_RESIZE_PREC=high (measurement gate): 3-pass bf16 split instead of
+    # HIGHEST's 6 passes — ~1e-6-level error; whether the pyramid/upsample
+    # stages tolerate it is a goldenclip question, whether it pays is a bench
+    # question (the pyramid is 58 ms/pair vs a ~7 ms floor, MXU-bound at
+    # HIGHEST).
+    prec = {"high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[
+        os.environ.get("FLDRX_RESIZE_PREC", "highest")]
+    y = jnp.einsum("oh,...hwc->...owc", Wh, x.astype(dt), precision=prec)
+    y = jnp.einsum("pw,...owc->...opc", Ww, y, precision=prec)
     return y.astype(x.dtype) if x.dtype == jnp.float32 else y
 
 
