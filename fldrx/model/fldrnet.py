@@ -934,11 +934,37 @@ def flow_extras(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
     flow_01 = upscale * resize_2d(flow[..., 2:4], (H, W), "bilinear")
     packed = _packed_enabled(cfg) and can_use_packed(flow, images)
     from ..ops import fastwarp as _fw
-    ztiled = packed and _fw.GTILE == _fw.TILE    # tiled z chain: the
-    # gather's tile order must match the splat's vals tiling downstream
-    z0, z1 = z_metrics(params["vfinet"], images[:, 0], images[:, 1],
-                       flow_10, flow_01, fast, fused=packed,
-                       tiled_out=ztiled)
+    import os as _os
+    # FLDRX_Z_HALFRES=1 (measurement gate, fast path only): the z
+    # importance metrics (fLDRnet.py:439-446) at HALF resolution — two
+    # half-size backward gathers instead of two full-4K ones (the z warps
+    # are the flow stage's biggest single item, 92 ms/pair vs a ~45 ms
+    # floor), bilinearly upsampled back. z is a soft occlusion weighting
+    # inside exp(); the 2-px smoothing of its boundaries is a goldenclip
+    # question. Strict path (fast_warp=False) never takes this.
+    B_, H_, W_ = images.shape[0], H, W
+    zhalf = (fast and packed
+             and bool(int(_os.environ.get("FLDRX_Z_HALFRES", "0")))
+             and H_ % 64 == 0 and W_ % 64 == 0)
+    if zhalf:
+        Hh, Wh = H_ // 2, W_ // 2
+        imgs2 = resize_2d(images.reshape(B_ * 2, H_, W_, 3), (Hh, Wh),
+                          "bilinear").reshape(B_, 2, Hh, Wh, 3)
+        fl10h = (upscale / 2) * resize_2d(flow[..., 0:2], (Hh, Wh),
+                                          "bilinear")
+        fl01h = (upscale / 2) * resize_2d(flow[..., 2:4], (Hh, Wh),
+                                          "bilinear")
+        z0h, z1h = z_metrics(params["vfinet"], imgs2[:, 0], imgs2[:, 1],
+                             fl10h, fl01h, fast, fused=True,
+                             tiled_out=False)
+        z0 = resize_2d(z0h, (H_, W_), "bilinear")
+        z1 = resize_2d(z1h, (H_, W_), "bilinear")
+    else:
+        ztiled = packed and _fw.GTILE == _fw.TILE    # tiled z chain: the
+        # gather's tile order must match the splat's vals tiling downstream
+        z0, z1 = z_metrics(params["vfinet"], images[:, 0], images[:, 1],
+                           flow_10, flow_01, fast, fused=packed,
+                           tiled_out=ztiled)
     if packed:
         x0P, x1P = _planes_batch(images[:, 0]), _planes_batch(images[:, 1])
         f10P, f01P = _planes_batch(flow_10), _planes_batch(flow_01)
