@@ -81,23 +81,43 @@ def _conv_kernel(Wp8, Cp, K, emit_raw, align, x_hbm, w_ref, b_ref, out_ref,
     x0 = xbuf[i % 2]
     N = _BH * Wp8
     K = w_ref.shape[2] // 3
-    acc = None
-    for ky in range(3):
-        off = ky * Wp8                      # align-multiple static slice
-        s = x0[off:off + N + align]         # +align rows: kx-tap slack
-        # one matmul per ky with the 3 kx weight blocks concatenated on the
-        # output axis (3K lanes fill the MXU's 128-wide output; a K=64-wide
-        # result wastes half of it). The ky contributions accumulate FULL
-        # WIDTH (aligned f32 adds) and the kx tap shifts are taken ONCE on
-        # the summed [N+8, 3K] result — the kx shift is ky-independent, so
-        # this is the same sum in a different association, and it pays 3
-        # unaligned-slice relayouts per step instead of 9. (Shifting the
-        # [N, Cp] operand instead forced a full-block copy per tap,
-        # measured.)
-        contrib = jax.lax.dot_general(
-            s, w_ref[ky], (((1,), (0,)), ((), ())),
+    Cp = x0.shape[1]
+    # FLDRX_CONV_FORM=kcat (measurement gate): concatenate the 3 ky-shifted
+    # operand slices on the LANE dim (offsets 0/Cp/2Cp — 128-multiples) and
+    # contract once over 3·Cp, letting the MXU accumulate the ky taps in its
+    # f32 pass chain. Same passes, but the two full-width [N, 3K] f32
+    # accumulator adds disappear — for small-Cin/large-K convs (64→416:
+    # adds touch 82 MB/step vs a 6 MB operand copy) that is the bulk of the
+    # per-step VMEM traffic. 'auto' picks kcat exactly there (copy bytes
+    # 3·N·Cp·2 < saved add bytes 4·N·3K·4 ⇔ Cp < 8K). Default 'ky' until
+    # TPU-measured.
+    form = os.environ.get("FLDRX_CONV_FORM", "ky")
+    kcat = form == "kcat" or (form == "auto" and Cp < 8 * K)
+    if kcat:
+        xcat = jnp.concatenate(
+            [x0[ky * Wp8:ky * Wp8 + N + align] for ky in range(3)], axis=1)
+        w3 = w_ref[...].reshape(3 * Cp, 3 * K)
+        acc = jax.lax.dot_general(
+            xcat, w3, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        acc = contrib if acc is None else acc + contrib
+    else:
+        acc = None
+        for ky in range(3):
+            off = ky * Wp8                  # align-multiple static slice
+            s = x0[off:off + N + align]     # +align rows: kx-tap slack
+            # one matmul per ky with the 3 kx weight blocks concatenated on
+            # the output axis (3K lanes fill the MXU's 128-wide output; a
+            # K=64-wide result wastes half of it). The ky contributions
+            # accumulate FULL WIDTH (aligned f32 adds) and the kx tap
+            # shifts are taken ONCE on the summed [N+8, 3K] result — the
+            # kx shift is ky-independent, so this is the same sum in a
+            # different association, and it pays 3 unaligned-slice
+            # relayouts per step instead of 9. (Shifting the [N, Cp]
+            # operand instead forced a full-block copy per tap, measured.)
+            contrib = jax.lax.dot_general(
+                s, w_ref[ky], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = contrib if acc is None else acc + contrib
     if emit_raw:
         # FLDRX_CONV_KX=xla: ship the ky-summed [N, 3K] f32 accumulator to
         # HBM untouched; the kx shift-adds run as an XLA fused epilogue
