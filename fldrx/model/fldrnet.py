@@ -548,6 +548,64 @@ def _upsample_to_planes(fb: jnp.ndarray, out_h: int, out_w: int):
     return jnp.stack(planes, 1)               # [B, 4, out_h/4, out_w·C]
 
 
+def blend_planes_24(out: jnp.ndarray, cands, tb5: jnp.ndarray,
+                    Tparam: jnp.ndarray) -> jnp.ndarray:
+    """The fast-path candidate blend on u-planes (fLDRnet.py:509-524).
+
+    out: UNet logits [B, Hp4, Wp4, 96] f32 (per u: 24 = 4 v-cells × 6
+    candidates); cands: 6 plane tensors [B, 4, Hp4, W·3]
+    (warped0, warped1, im0, im1, x0, x1); tb5: [B,1,1,1,1] target time.
+    Returns the blended u-planes [B, 4, Hp4, W·3].
+
+    Fold the (1−t)/t candidate weights into the softmax logits:
+    t_i·exp(o_i/T) = exp(o_i/T + log t_i), so the re-normalizing divisor
+    cancels EXACTLY (fLDRnet.py:512-519 algebra) — saves the divisor sum,
+    the final divide and six broadcast multiplies per u-plane (weights
+    differ by ~1 ulp from the two-step form; fast-path only — `synthesize`
+    keeps the reference arithmetic).
+
+    The softmax stays on the 24-ch minor — stability max over all 24
+    (constant within each group of 6, so the group softmax is unchanged up
+    to ~ulp exponent scaling) and the group denominator via a
+    block-diagonal ones [24,24] matmul — the (B,Hp4,Wp4,4,6) narrow-minor
+    softmax intermediate never exists. (TPU-measured r4: 4.583 vs 4.577
+    fps for the (4,6) jax.nn.softmax form; adopted as the only fast-path
+    blend. A wide-minor one-hot-expanded rebuild measured 4.607 vs 4.670
+    and was reverted — git 8ee1888^..)
+    """
+    B, Hp4, Wp4, _ = out.shape
+    W = cands[0].shape[3] // 3
+    warped0P, warped1P, im0P, im1P, x0P, x1P = cands
+
+    def cells(P, u, k):
+        """Plane u of a [B, 4, Hp4, W·k] tensor as [B, Hp4, Wp4, 4, k]."""
+        return P[:, u].reshape(B, Hp4, Wp4, 4, k)
+
+    logt = jnp.log(tb5)
+    log1mt = jnp.log(1.0 - tb5)
+    bias = jnp.concatenate(
+        [log1mt, logt, log1mt, logt, log1mt, logt], -1)  # [B,1,1,1,6]
+    G24 = jnp.asarray(
+        np.kron(np.eye(4, dtype=np.float32),
+                np.ones((6, 6), np.float32)))
+    bias24 = jnp.tile(bias[..., 0, :], (1, 1, 1, 4))      # [B,1,1,24]
+    out_planes = []
+    for u in range(4):
+        xu = out[..., u * 24:u * 24 + 24] / Tparam + bias24
+        e = jnp.exp(xu - jnp.max(xu, axis=-1, keepdims=True))
+        denom = jnp.einsum("bhwq,qr->bhwr", e, G24,
+                           precision=jax.lax.Precision.HIGHEST)
+        p6 = (e / denom).reshape(B, Hp4, Wp4, 4, 6)
+        out_u = (p6[..., 0:1] * cells(warped0P, u, 3)
+                 + p6[..., 1:2] * cells(warped1P, u, 3)
+                 + p6[..., 2:3] * cells(im0P, u, 3)
+                 + p6[..., 3:4] * cells(im1P, u, 3)
+                 + p6[..., 4:5] * cells(x0P, u, 3)
+                 + p6[..., 5:6] * cells(x1P, u, 3))
+        out_planes.append(out_u.reshape(B, Hp4, W * 3))
+    return jnp.stack(out_planes, axis=1)                  # [B,4,Hp4,W·3]
+
+
 def synthesize_packed(p: Params, flow_l: jnp.ndarray, images: jnp.ndarray,
                       t: jnp.ndarray, precomputed=None,
                       compute_dtype=jnp.float32, planes_out=False):
@@ -764,9 +822,6 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
     fb0P = [f.reshape(B, 4, Hp4, W * 2) for f in fb0P]
     fb1P = [f.reshape(B, 4, Hp4, W * 2) for f in fb1P]
 
-    def cells(P, u, k):
-        """Plane u of a [B, 4, Hp4, W·k] tensor as [B, Hp4, Wp4, 4, k]."""
-        return P[:, u].reshape(B, Hp4, Wp4, 4, k)
 
     # ---- per-t refine UNet + blend (each already one large MXU program).
     # UNet input in u-major/component-major channel order (u, comp, v, cc):
@@ -794,44 +849,9 @@ def synthesize_packed_multi(p: Params, flow_l: jnp.ndarray,
         out = out.astype(jnp.float32)                     # [B,Hp4,Wp4,96]
 
         tb5 = ts[k].reshape(B, 1, 1, 1, 1).astype(jnp.float32)
-        # fold the (1−t)/t candidate weights into the softmax logits:
-        # t_i·exp(o_i/T) = exp(o_i/T + log t_i), so the re-normalizing
-        # divisor cancels EXACTLY (fLDRnet.py:512-519 algebra) — saves the
-        # divisor sum, the final divide and six broadcast multiplies per
-        # u-plane (weights differ by ~1 ulp from the two-step form;
-        # fast-path only — `synthesize` keeps the reference arithmetic)
-        logt = jnp.log(tb5)
-        log1mt = jnp.log(1.0 - tb5)
-        bias = jnp.concatenate(
-            [log1mt, logt, log1mt, logt, log1mt, logt], -1)  # [B,1,1,1,6]
-        # The softmax stays on the 24-ch minor — stability max over all 24
-        # (constant within each group of 6, so the group softmax is
-        # unchanged up to ~ulp exponent scaling) and the group denominator
-        # via a block-diagonal ones [24,24] matmul — the (B,Hp4,Wp4,4,6)
-        # narrow-minor softmax intermediate never exists. (TPU-measured r4:
-        # 4.583 vs 4.577 fps for the (4,6) jax.nn.softmax form; adopted as
-        # the only fast-path blend — `synthesize` keeps the reference
-        # arithmetic.)
-        G24 = jnp.asarray(
-            np.kron(np.eye(4, dtype=np.float32),
-                    np.ones((6, 6), np.float32)))
-        bias24 = jnp.tile(bias[..., 0, :], (1, 1, 1, 4))      # [B,1,1,24]
-        out_planes = []
-        for u in range(4):
-            xu = out[..., u * 24:u * 24 + 24] / Tparam + bias24
-            e = jnp.exp(xu - jnp.max(xu, axis=-1, keepdims=True))
-            denom = jnp.einsum("bhwq,qr->bhwr", e, G24,
-                               precision=jax.lax.Precision.HIGHEST)
-            p6 = (e / denom).reshape(B, Hp4, Wp4, 4, 6)
-            out_u = (p6[..., 0:1] * cells(warped0P[k], u, 3)
-                     + p6[..., 1:2] * cells(warped1P[k], u, 3)
-                     + p6[..., 2:3] * cells(im0P[k], u, 3)
-                     + p6[..., 3:4] * cells(im1P[k], u, 3)
-                     + p6[..., 4:5] * cells(x0P, u, 3)
-                     + p6[..., 5:6] * cells(x1P, u, 3))
-            out_planes.append(out_u.reshape(B, Hp4, W * 3))
-
-        outP = jnp.stack(out_planes, axis=1)              # [B,4,Hp4,W·3]
+        outP = blend_planes_24(
+            out, (warped0P[k], warped1P[k], im0P[k], im1P[k], x0P, x1P),
+            tb5, Tparam)                                  # [B,4,Hp4,W·3]
         flow_refine = jnp.concatenate(
             [tb * flow_01, (1.0 - tb) * flow_10], -1)
         if planes_out:
