@@ -72,14 +72,17 @@ def main():
         return blend_planes_24(out, tuple(c.astype(jnp.bfloat16)
                                           for c in cands), tb5, Tp)
 
+    jfull = jax.jit(lambda o, c, t: blend_planes_24(o, c, t, Tp))
+    jsoftmax = jax.jit(softmax24)
+    jbf16 = jax.jit(bf16cand)
+    jwsum = jax.jit(wsum)
+    p96 = jsoftmax(out)
     variants = {
-        "full": (lambda: jax.jit(
-            lambda o, c, t: blend_planes_24(o, c, t, Tp))(out, cands, tb5)),
-        "softmax": (lambda: jax.jit(softmax24)(out)),
-        "bf16cand": (lambda: jax.jit(bf16cand)(out, cands, tb5)),
+        "full": lambda: jfull(out, cands, tb5),
+        "softmax": lambda: jsoftmax(out),
+        "bf16cand": lambda: jbf16(out, cands, tb5),
+        "wsum": lambda: jwsum(p96, cands),
     }
-    p96 = jax.jit(softmax24)(out)
-    variants["wsum"] = lambda: jax.jit(wsum)(p96, cands)
 
     if "--hlo" in sys.argv:
         fn = jax.jit(lambda o, c, t: blend_planes_24(o, c, t, Tp))
