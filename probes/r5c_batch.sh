@@ -1,0 +1,32 @@
+#!/bin/bash
+# round-5c: the gates built after the r5b batch was written, plus the
+# hardware-training evidence run (VERDICT r4 item 8) and the T_CHUNK
+# re-sweep moved here from r5b's tail.
+#   1. bench Z_HALFRES=1     — half-res z importance metrics (50a240d);
+#                              z-stage is 92 ms/pair vs ~45 floor
+#   2. goldenclip Z_HALFRES  — its quality gate (0.05 dB budget)
+#   3. trainrun              — few-hundred-step TPU train through the real
+#                              train() driver: loss curve, steps/s, and the
+#                              save → resume → bitwise-continue check
+#   4-5. bench T_CHUNK=7 / 5 — r4k re-sweep (planes_out freed the HBM that
+#                              made 7 OOM in r2)
+# Waits for the r5a+r5b wrapper (/tmp/r5ab.pid) to release the chip.
+cd "$(dirname "$0")/.."
+if [ -f /tmp/r5ab.pid ]; then
+  while kill -0 "$(cat /tmp/r5ab.pid)" 2>/dev/null; do sleep 30; done
+fi
+LOG=queue_results.log
+run() {
+  echo "=== $1 — $(date -u)" | tee -a "$LOG"
+  shift
+  bash probes/run_tpu.sh "$@" 2>&1 | tail -14 | tee -a "$LOG"
+}
+run "R5C-1. bench Z_HALFRES=1" 2700 env FLDRX_Z_HALFRES=1 python bench.py
+run "R5C-2. goldenclip deploy Z_HALFRES=1" 3600 \
+    env FLDRX_GOLDEN_CONFIGS=deploy FLDRX_Z_HALFRES=1 \
+    python -u -m fldrx.tools.goldenclip_report
+run "R5C-3. trainrun 18+2 epochs (loss curve + resume check)" 7200 \
+    python -u probes/trainrun.py 18 2
+run "R5C-4. bench T_CHUNK=7" 3600 env FLDRX_BENCH_T_CHUNK=7 python bench.py
+run "R5C-5. bench T_CHUNK=5" 3600 env FLDRX_BENCH_T_CHUNK=5 python bench.py
+echo "=== R5C batch done — $(date -u)" | tee -a "$LOG"
