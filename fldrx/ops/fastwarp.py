@@ -743,6 +743,32 @@ STRIPH = OYR_S + TILE + WINY_S   # strip rows in VMEM (256); while row r is
                                  # processed it covers canvas rows
                                  # [32r−OYR_S, 32r+TILE+WINY_S)
 
+_YWIN = 128                # y-window rows for the factored-placement splat
+
+
+def _ywin_on() -> bool:
+    """FLDRX_SPLAT_YWIN=1 (measurement gate, u-plane splat only): factor the
+    [STRIPH, N] strip contribution into a [_YWIN, N] window matmul plus a
+    one-hot PLACEMENT matmul. The window follows each tile's mean target
+    (gather-style per-tile adaptive origin, clamped into the strip), so the
+    N-contraction runs at 128 output rows instead of 256: per tile
+    32 + 16 passes (window + 2-split placement) replace the 64-pass
+    strip-wide contribution — −22% kernel MXU. The placement splits the f32
+    contribution into hi/lo bf16 halves (error ≤ ~2⁻¹⁶ relative, far inside
+    the fast path's existing bf16 envelope); reach for coherent motion is
+    unchanged (the window tracks the tile mean) but intra-tile target
+    spread beyond ~126 rows now spills to the exact fixup tiers (the
+    strip-wide form handled ~222). Measure before defaulting."""
+    return bool(int(os.environ.get("FLDRX_SPLAT_YWIN", "0")))
+
+
+def _ywin_origin(ty_t: jnp.ndarray, oy: jnp.ndarray) -> jnp.ndarray:
+    """Per-tile adaptive y-window origin, STRIP-RELATIVE (canvas-offset
+    rows), clamped so the whole window lies inside the strip."""
+    cy = jnp.mean(ty_t, axis=1) - oy.astype(ty_t.dtype)
+    return jnp.clip(jnp.round(cy - _YWIN / 2).astype(jnp.int32),
+                    0, STRIPH - _YWIN)
+
 
 def _splat_kernel(C, winx, K, tx, ty, n_problems, origins_ref, coords_ref,
                   vals_ref, out_hbm, strip_ref, sem):
@@ -926,7 +952,7 @@ def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K,
     return outs[0] if n_problems == 1 else outs
 
 
-def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, *refs):
+def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, ywin, *refs):
     """Strip-accumulator splat with a u-MAJOR strip that flushes directly
     into u-planes (see the u-plane layout note above), processing
     N_PROBLEMS independent splats in one continuous sweep.
@@ -1005,8 +1031,17 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, *refs):
                     (G, strip_ref.shape[1]), jnp.float32)
 
     # physical strip row u*Q+k ↔ canvas offset 4k+u
-    ivp = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, N), 0)
-    ivT = ((ivp % Q) * 4 + ivp // Q).astype(jnp.float32)
+    if ywin:
+        # factored placement (see _ywin_on): [_YWIN, N] window one-hot +
+        # [STRIPH, _YWIN] placement one-hot built from the same row map
+        iv128 = jax.lax.broadcasted_iota(
+            jnp.int32, (_YWIN, N), 0).astype(jnp.float32)
+        sP = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, _YWIN), 0)
+        ysP = (sP % Q) * 4 + sP // Q          # canvas offset of phys row s
+        rP = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, _YWIN), 1)
+    else:
+        ivp = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, N), 0)
+        ivT = ((ivp % Q) * 4 + ivp // Q).astype(jnp.float32)
     ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
            // C).astype(jnp.float32)
     rep128 = (jax.lax.broadcasted_iota(jnp.int32, (C, 128), 1) % C
@@ -1015,12 +1050,19 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, *refs):
 
     for j in range(K):
         g = i * K + j
-        colC = pl.multiple_of(origins_ref[g], 128)
+        if ywin:
+            colC = pl.multiple_of(origins_ref[2 * g], 128)
+            yw = origins_ref[2 * g + 1]
+        else:
+            colC = pl.multiple_of(origins_ref[g], 128)
         txr = coords_ref[j, 0:1, :]                       # strip-relative
         tyr = coords_ref[j, 1:2, :]
-        # hat-form strip one-hot against the u-major row map; no okyr —
+        # hat-form one-hot against the u-major row map; no okyr —
         # spilled tiles' pushed X coords hat to zero
-        RYT = _hat(ivT, tyr)
+        if ywin:
+            RYT = _hat(iv128, tyr - yw.astype(jnp.float32))
+        else:
+            RYT = _hat(ivT, tyr)
 
         xcol = _row_to_col(txr)  # exact row->col, 1 DEFAULT MXU pass
         CXe = _hat(ufl, xcol)
@@ -1030,8 +1072,23 @@ def _splat_kernel_up(C, winx, K, tx, ty_local, n_problems, *refs):
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         contrib = _splat_contrib(RYT, CXe, v128, wC)
-        strip_ref[:, pl.ds(colC, wC)] = (
-            strip_ref[:, pl.ds(colC, wC)] + contrib)
+        if ywin:
+            # 2-split placement: P is an exact 0/1 bf16 one-hot; the f32
+            # window contribution rides as hi+lo bf16 halves (placement
+            # error ≤ ~2⁻¹⁶ relative — see _ywin_on)
+            P = (ysP == rP + yw).astype(jnp.bfloat16)
+            chi = contrib.astype(jnp.bfloat16)
+            clo = (contrib - chi.astype(jnp.float32)).astype(jnp.bfloat16)
+            placed = (
+                jax.lax.dot_general(P, chi, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(P, clo, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+            strip_ref[:, pl.ds(colC, wC)] = (
+                strip_ref[:, pl.ds(colC, wC)] + placed)
+        else:
+            strip_ref[:, pl.ds(colC, wC)] = (
+                strip_ref[:, pl.ds(colC, wC)] + contrib)
 
     @pl.when(i == n - 1)
     def _():
@@ -1048,7 +1105,11 @@ def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
     problems' values ([n_vals·ntiles, C, N]) and problem p reads vals set
     p % n_vals via the BlockSpec index_map (splat_multi dedupes repeated
     vals objects; without sharing the XLA prologue materializes and pins a
-    concat copy per problem — ~150 MB each at 4K)."""
+    concat copy per problem — ~150 MB each at 4K).
+
+    With the FLDRX_SPLAT_YWIN gate on, `origins` interleaves TWO scalars
+    per tile (lane offset, y-window origin) — callers build it via
+    _ywin_origin."""
     N = TILE * TILE
     ty, tx = H // TILE, W // TILE
     padx = winx
@@ -1072,7 +1133,8 @@ def _splat_fast_planes(valsT, rel_coords, origins, H, W, C, winx, K,
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_splat_kernel_up, C, winx, K, tx, ty, n_problems),
+        functools.partial(_splat_kernel_up, C, winx, K, tx, ty, n_problems,
+                          _ywin_on()),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((4, n_problems * seg4, WpC),
                                        jnp.float32),
@@ -1246,7 +1308,13 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
     ty_t = _tile_flatten(ty, H, W)
     vals_t = _tile_flatten(vals, H, W)
     oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
-    ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
+    if planes_out and _ywin_on():
+        yw = _ywin_origin(ty_t, oy)
+        ok_t = _ok_mask(tx_t, ty_t, oy + yw, ox, _YWIN, winx)
+        origins = jnp.stack([(ox + padx) * cp, yw], 1).reshape(-1)
+    else:
+        ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
+        origins = (ox + padx) * cp        # strip lane offsets (128-aligned)
     n_tiles = ok_t.shape[0]
     # tiles with any spilled source are zeroed wholesale in the fast kernel
     # and re-added exactly by the tile fixup
@@ -1255,7 +1323,6 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
     # the tiled values then do not depend on the coords, so multi-t chunk
     # programs CSE one vals array across all t-values
     tile_bad = (~jnp.all(ok_t, axis=1)).astype(tx_t.dtype)[:, None]
-    origins = (ox + padx) * cp            # strip lane offsets (128-aligned)
     rel = jnp.stack(
         [tx_t - ox[:, None].astype(tx_t.dtype) - tile_bad * 1e6,
          ty_t - oy[:, None].astype(ty_t.dtype)], axis=1)
@@ -1316,11 +1383,17 @@ def splat_multi(problems, vals_tiled=False, planes=True):
         tx_t = _tile_flatten(tx, H, W)
         ty_t = _tile_flatten(ty, H, W)
         oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
-        ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
+        if planes and _ywin_on():
+            yw = _ywin_origin(ty_t, oy)
+            ok_t = _ok_mask(tx_t, ty_t, oy + yw, ox, _YWIN, winx)
+            all_origins.append(
+                jnp.stack([(ox + padx) * cp, yw], 1).reshape(-1))
+        else:
+            ok_t = _ok_mask(tx_t, ty_t, oy, ox, STRIPH, winx)
+            all_origins.append((ox + padx) * cp)
         # coords-pushed spill neutralization (see splat_at): keeps the
         # tiled vals t-independent for cross-t CSE in chunk programs
         tile_bad = (~jnp.all(ok_t, axis=1)).astype(tx_t.dtype)[:, None]
-        all_origins.append((ox + padx) * cp)
         all_rel.append(jnp.stack(
             [tx_t - ox[:, None].astype(tx_t.dtype) - tile_bad * 1e6,
              ty_t - oy[:, None].astype(ty_t.dtype)], axis=1))

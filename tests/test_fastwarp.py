@@ -149,6 +149,33 @@ def test_splat_multi_shared_vals(data):
                                    atol=1e-5)
 
 
+def test_splat_ywin_matches_exact(data, monkeypatch):
+    """FLDRX_SPLAT_YWIN=1 (factored-placement u-plane splat): the
+    [_YWIN, N] window matmul + one-hot placement must match the exact
+    splat within the fast path's tolerance — including under large
+    divergent flows (the tighter window pushes more tiles to the exact
+    fixup tiers) — and the fused multi must match per-problem splat_at."""
+    x, small, big = data
+    H, W = 128, 192
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None]
+    monkeypatch.setenv("FLDRX_SPLAT_YWIN", "1")
+    for fl in (small, big):
+        tx = xs + fl[0, ..., 0]
+        ty = ys + fl[0, ..., 1]
+        out = fastwarp.splat_at(x[0], tx, ty, planes_out=True)
+        plain = np.asarray(_unplanes(out[None], 4))[0, ..., :3]
+        ref = np.asarray(splat_sum(x, fl))[0]
+        np.testing.assert_allclose(plain, ref, atol=TOL)
+    probs = [(x[0], xs + fl[0, ..., 0], ys + fl[0, ..., 1])
+             for fl in (small, big)]
+    outs = fastwarp.splat_multi(probs)
+    for (v, tx, ty), o in zip(probs, outs):
+        ref = fastwarp.splat_at(v, tx, ty, planes_out=True)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=1e-5)
+
+
 def test_gather_multi_matches_single(data):
     """The fused multi-problem gather (stacked source images, offset
     origins) must equal per-problem gather_at."""
