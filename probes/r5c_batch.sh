@@ -27,6 +27,11 @@ run "R5C-2. goldenclip deploy Z_HALFRES=1" 3600 \
     python -u -m fldrx.tools.goldenclip_report
 run "R5C-3. trainrun 18+2 epochs (loss curve + resume check)" 7200 \
     python -u probes/trainrun.py 18 2
-run "R5C-4. bench T_CHUNK=7" 3600 env FLDRX_BENCH_T_CHUNK=7 python bench.py
-run "R5C-5. bench T_CHUNK=5" 3600 env FLDRX_BENCH_T_CHUNK=5 python bench.py
+run "R5C-4. bench SPLAT_YWIN=1 (factored-placement splat)" 2700 \
+    env FLDRX_SPLAT_YWIN=1 python bench.py
+run "R5C-5. goldenclip deploy SPLAT_YWIN=1" 3600 \
+    env FLDRX_GOLDEN_CONFIGS=deploy FLDRX_SPLAT_YWIN=1 \
+    python -u -m fldrx.tools.goldenclip_report
+run "R5C-6. bench T_CHUNK=7" 3600 env FLDRX_BENCH_T_CHUNK=7 python bench.py
+run "R5C-7. bench T_CHUNK=5" 3600 env FLDRX_BENCH_T_CHUNK=5 python bench.py
 echo "=== R5C batch done — $(date -u)" | tee -a "$LOG"
