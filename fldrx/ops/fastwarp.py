@@ -747,7 +747,7 @@ _YWIN = 128                # y-window rows for the factored-placement splat
 
 
 def _ywin_on() -> bool:
-    """FLDRX_SPLAT_YWIN=1 (measurement gate, u-plane splat only): factor the
+    """FLDRX_SPLAT_YWIN=1 (measurement gate, both splat kernels): factor the
     [STRIPH, N] strip contribution into a [_YWIN, N] window matmul plus a
     one-hot PLACEMENT matmul. The window follows each tile's mean target
     (gather-style per-tile adaptive origin, clamped into the strip), so the
@@ -770,8 +770,8 @@ def _ywin_origin(ty_t: jnp.ndarray, oy: jnp.ndarray) -> jnp.ndarray:
                     0, STRIPH - _YWIN)
 
 
-def _splat_kernel(C, winx, K, tx, ty, n_problems, origins_ref, coords_ref,
-                  vals_ref, out_hbm, strip_ref, sem):
+def _splat_kernel(C, winx, K, tx, ty, n_problems, ywin, origins_ref,
+                  coords_ref, vals_ref, out_hbm, strip_ref, sem):
     """Strip-accumulator splat: NO read-modify-write DMA at all.
 
     Tiles stream row-major; a [STRIPH, Wp·C] f32 strip in VMEM covers canvas
@@ -850,7 +850,15 @@ def _splat_kernel(C, winx, K, tx, ty, n_problems, origins_ref, coords_ref,
                 flush.wait()
                 shift_strip()
 
-    ivT = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, N), 0)
+    if ywin:
+        # factored placement (see _ywin_on): window + placement one-hots;
+        # the plain kernel's row map is the identity
+        iv128 = jax.lax.broadcasted_iota(
+            jnp.int32, (_YWIN, N), 0).astype(jnp.float32)
+        ysP = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, _YWIN), 0)
+        rP = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, _YWIN), 1)
+    else:
+        ivT = jax.lax.broadcasted_iota(jnp.int32, (STRIPH, N), 0)
     ufl = (jax.lax.broadcasted_iota(jnp.int32, (N, wC), 1)
            // C).astype(jnp.float32)
 
@@ -868,7 +876,11 @@ def _splat_kernel(C, winx, K, tx, ty, n_problems, origins_ref, coords_ref,
 
     for j in range(K):
         g = i * K + j
-        colC = pl.multiple_of(origins_ref[g], 128)
+        if ywin:
+            colC = pl.multiple_of(origins_ref[2 * g], 128)
+            yw = origins_ref[2 * g + 1]
+        else:
+            colC = pl.multiple_of(origins_ref[g], 128)
         txr = coords_ref[j, 0:1, :]                       # strip-relative
         tyr = coords_ref[j, 1:2, :]
         # STRIP-wide hat one-hot: the target's vertical position is absorbed
@@ -879,7 +891,10 @@ def _splat_kernel(C, winx, K, tx, ty, n_problems, origins_ref, coords_ref,
         # the (STRIPH−2, STRIPH−1) fractional band, which the former
         # iota-compare + okyr ≤ STRIPH−2 mask wrongly dropped (its x twin
         # okx ≤ winx−2 dropped the (winx−2, winx−1) band the same way).
-        RYT = _hat(ivT.astype(jnp.float32), tyr)
+        if ywin:
+            RYT = _hat(iv128, tyr - yw.astype(jnp.float32))
+        else:
+            RYT = _hat(ivT.astype(jnp.float32), tyr)
 
         xcol = _row_to_col(txr)  # exact row->col, 1 DEFAULT MXU pass
         # hat taps; spilled tiles' pushed coords hat to zero and are
@@ -891,8 +906,20 @@ def _splat_kernel(C, winx, K, tx, ty, n_problems, origins_ref, coords_ref,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         contrib = _splat_contrib(RYT, CXe, v128, wC)
-        strip_ref[:, pl.ds(colC, wC)] = (
-            strip_ref[:, pl.ds(colC, wC)] + contrib)
+        if ywin:
+            P = (ysP == rP + yw).astype(jnp.bfloat16)
+            chi = contrib.astype(jnp.bfloat16)
+            clo = (contrib - chi.astype(jnp.float32)).astype(jnp.bfloat16)
+            placed = (
+                jax.lax.dot_general(P, chi, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(P, clo, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32))
+            strip_ref[:, pl.ds(colC, wC)] = (
+                strip_ref[:, pl.ds(colC, wC)] + placed)
+        else:
+            strip_ref[:, pl.ds(colC, wC)] = (
+                strip_ref[:, pl.ds(colC, wC)] + contrib)
 
     @pl.when(i == n - 1)
     def _():
@@ -937,7 +964,8 @@ def _splat_fast(valsT, rel_coords, origins, H, W, C, winx, K,
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_splat_kernel, C, winx, K, tx, ty, n_problems),
+        functools.partial(_splat_kernel, C, winx, K, tx, ty, n_problems,
+                          _ywin_on()),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_problems * seg, WpC), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -1308,7 +1336,7 @@ def splat_at(vals: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray,
     ty_t = _tile_flatten(ty, H, W)
     vals_t = _tile_flatten(vals, H, W)
     oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
-    if planes_out and _ywin_on():
+    if _ywin_on():
         yw = _ywin_origin(ty_t, oy)
         ok_t = _ok_mask(tx_t, ty_t, oy + yw, ox, _YWIN, winx)
         origins = jnp.stack([(ox + padx) * cp, yw], 1).reshape(-1)
@@ -1383,7 +1411,7 @@ def splat_multi(problems, vals_tiled=False, planes=True):
         tx_t = _tile_flatten(tx, H, W)
         ty_t = _tile_flatten(ty, H, W)
         oy, ox = _origins_strip(tx_t, ty_t, txn, W, WINY_S, winx, qx, padx)
-        if planes and _ywin_on():
+        if _ywin_on():
             yw = _ywin_origin(ty_t, oy)
             ok_t = _ok_mask(tx_t, ty_t, oy + yw, ox, _YWIN, winx)
             all_origins.append(

@@ -174,6 +174,15 @@ def test_splat_ywin_matches_exact(data, monkeypatch):
         ref = fastwarp.splat_at(v, tx, ty, planes_out=True)
         np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
                                    atol=1e-5)
+    # plain-layout kernel under the gate (flow-stage feature warps)
+    for fl in (small, big):
+        np.testing.assert_allclose(fastwarp.splat_sum_fast(x, fl),
+                                   splat_sum(x, fl), atol=TOL)
+    plains = fastwarp.splat_multi(probs, planes=False)
+    for (v, tx, ty), o in zip(probs, plains):
+        ref = fastwarp.splat_at(v, tx, ty, planes_out=False)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=1e-5)
 
 
 def test_gather_multi_matches_single(data):
