@@ -91,14 +91,17 @@ def main():
     # interleave kernel; eval consumers unpack on host worker threads
     # (bit-equal layout change — see config.py)
     planes = bool(int(os.environ.get("FLDRX_BENCH_PLANES_OUT", "1")))
-    # pair-batched runs measure the production-correct config: per-item PCA
-    # min-max (exact reference batch=1 per-pair semantics; see config.py)
-    pairs = int(os.environ.get("FLDRX_BENCH_PAIRS", "1"))
+    # (A pair-batched mode — FLDRX_BENCH_PAIRS, B independent pairs riding
+    # one program with per-item PCA min-max — was TPU-measured in r5 and
+    # DELETED: 4.256 fps at PAIRS=2/T_CHUNK=2 and 3.596 at T_CHUNK=4 vs
+    # 4.686 defaults; two pairs' live flow extras + planes cost far more
+    # than the shared launch prologues save. cfg.per_item_minmax stays: it
+    # is the reference-parity semantics for any multi-pair batch, e.g.
+    # dp-mesh eval — see config.py.)
     cfg = papermodel_test5().replace(compute_dtype=dtype, t_chunk=tchunk,
                                      flow_dtype=flow_dtype,
                                      unet_dtype=unet_dtype,
-                                     planes_out=planes,
-                                     per_item_minmax=pairs > 1)
+                                     planes_out=planes)
     try:
         interp, cfg, _ = prepare_model(DEFAULT_NPZ, cfg)
     except FileNotFoundError:
@@ -126,22 +129,6 @@ def main():
         f0 = np.stack([tex(0, 0), tex(9, 4), tex(3, 11)], -1)
         f1 = np.stack([tex(22, 13), tex(31, 17), tex(25, 24)], -1)
         frames = np.stack([f0, f1], 0)[None].astype(np.float32) * 0.6
-    # pair-batched throughput mode: B independent pairs ride one program
-    # (per-launch overheads and the tiny coarse-grid ops amortize across the
-    # batch; the 4K stages scale linearly). Distinct content per pair so the
-    # flow fields and spill-tier behavior stay realistic.
-    if pairs > 1:
-        reps = [frames]
-        for p in range(1, pairs):
-            # distinct content per replica: a p-dependent column roll plus a
-            # flip on odd p (a plain p%2 alternation would make pair 2
-            # bit-identical to pair 0 — duplicated flow fields and spill
-            # tiers are an unrealistically easy case)
-            rep = np.roll(frames, 97 * p, axis=3)
-            if p % 2:
-                rep = np.flip(rep, axis=(2, 3))
-            reps.append(rep)
-        frames = np.concatenate(reps, 0)
     if bool(int(os.environ.get("FLDRX_BENCH_U8", "1"))):  # default on
         # (r4-measured 4.587 vs 4.577; real eval frames are uint8 anyway)
         # ship uint8 and normalize on device (4× less H2D per pair; real
@@ -243,7 +230,7 @@ def main():
             measure()
     dt = time.perf_counter() - t0
 
-    fps = iters * len(t_values) * pairs / dt
+    fps = iters * len(t_values) / dt
     print(json.dumps({
         "metric": "4K interpolated frames/sec/chip (papermodel test5scales, x8)",
         "value": round(fps, 3),
