@@ -22,16 +22,17 @@ run() {
   bash probes/run_tpu.sh "$@" 2>&1 | tail -14 | tee -a "$LOG"
 }
 run "R5C-1. bench Z_HALFRES=1" 2700 env FLDRX_Z_HALFRES=1 python bench.py
-run "R5C-2. goldenclip deploy Z_HALFRES=1" 3600 \
+run "R5C-2. bench SPLAT_YWIN=1 (factored-placement splat)" 2700 \
+    env FLDRX_SPLAT_YWIN=1 python bench.py
+run "R5C-3. goldenclip deploy Z_HALFRES=1" 3600 \
     env FLDRX_GOLDEN_CONFIGS=deploy FLDRX_Z_HALFRES=1 \
     python -u -m fldrx.tools.goldenclip_report
-run "R5C-3. trainrun 18+2 epochs (loss curve + resume check)" 7200 \
-    python -u probes/trainrun.py 18 2
-run "R5C-4. bench SPLAT_YWIN=1 (factored-placement splat)" 2700 \
-    env FLDRX_SPLAT_YWIN=1 python bench.py
-run "R5C-5. goldenclip deploy SPLAT_YWIN=1" 3600 \
+run "R5C-4. goldenclip deploy SPLAT_YWIN=1" 3600 \
     env FLDRX_GOLDEN_CONFIGS=deploy FLDRX_SPLAT_YWIN=1 \
     python -u -m fldrx.tools.goldenclip_report
-run "R5C-6. bench T_CHUNK=7" 3600 env FLDRX_BENCH_T_CHUNK=7 python bench.py
-run "R5C-7. bench T_CHUNK=5" 3600 env FLDRX_BENCH_T_CHUNK=5 python bench.py
+run "R5C-5. trainrun 18+2 epochs (loss curve + resume check)" 7200 \
+    python -u probes/trainrun.py 18 2
 echo "=== R5C batch done — $(date -u)" | tee -a "$LOG"
+# (T_CHUNK 7/5 re-sweep dropped: lowest expected value, and the round-end
+# defaults-confirm bench after gate adoption takes priority — run manually
+# as R5E once winners are flipped.)
