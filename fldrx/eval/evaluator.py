@@ -194,11 +194,12 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
     # DISPATCHED before any output is fetched (JAX async dispatch → chunk
     # k's D2H rides under chunk k+1's compute; the relay's D2H of 7×38 MB
     # per pair otherwise serializes against an idle device).
-    # FLDRX_EVAL_DEFER=1 additionally defers the fetch one pair deep, so
-    # pair N's fetch+metrics hide under pair N+1's flow/synthesis — costs
-    # ~266 MB extra live HBM for the held outputs (measure before
-    # defaulting: chunk-4's schedule degraded under memory pressure).
-    defer = bool(int(os.environ.get("FLDRX_EVAL_DEFER", "0")))
+    # (A FLDRX_EVAL_DEFER mode additionally deferring the fetch one pair
+    # deep was TPU-measured in r5 and removed: 0.695 vs 0.692 frames/s on
+    # the real evaluator — async dispatch already keeps the device busy, so
+    # the cross-pair defer only held ~266 MB of dead outputs. The bench's
+    # dispatch-overlap protocol agreed: 4.696 vs 4.686.)
+    defer = False
     deferred: List = []
 
     # FLDRX_DEVICE_METRICS (default ON): PSNR/SSIM computed ON-CHIP per
@@ -290,9 +291,7 @@ def evaluate(interp: Interpolator, cfg: FLDRConfig, dataset_name: str,
                                           range(0, len(ts), tchunk))]
                 if all(m is not None for m in mets):
                     # metrics fully on-device: drop the frame buffers now
-                    # (finish() only needs the metric scalars) — otherwise
-                    # FLDRX_EVAL_DEFER holds ~266 MB of dead outputs per
-                    # deferred pair while the next pair synthesizes
+                    # (finish() only needs the metric scalars)
                     outs = None
             entry = (list(pending), outs, t0, mets, flow_fut)
         pending.clear()

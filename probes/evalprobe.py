@@ -1,5 +1,10 @@
 """Dataset-eval throughput A/B: FLDRX_EVAL_DEFER off vs on (pair overlap).
 
+RESOLVED r5 (R5A-6): 0.692 vs 0.695 frames/s — neutral; the knob was
+removed from the evaluator (async dispatch already keeps the device busy).
+This probe now measures two identical configs and is kept only as the
+measurement record's venue.
+
 The headline bench (bench.py) reuses one device-resident frame pair, so it
 cannot see the per-pair HOST gap the real evaluator pays: fetching pair N's
 metrics blocks the host, and only then does it stage pair N+1's frames
