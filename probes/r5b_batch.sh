@@ -23,6 +23,8 @@ run() {
   bash probes/run_tpu.sh "$@" 2>&1 | tail -14 | tee -a "$LOG"
 }
 run "R5B-0. blendprobe decomposition" 2400 python -u probes/blendprobe.py
+run "R5B-0b. blendprobe HLO op census" 1200 \
+    python -u probes/blendprobe.py --hlo
 run "R5B-1. convprobe ALIGN x KX matrix" 3600 python -u probes/convprobe.py
 run "R5B-1b. convprobe CONV_FORM=kcat" 3600 \
     env FLDRX_CONV_FORM=kcat python -u probes/convprobe.py
