@@ -72,13 +72,24 @@ def main():
         return blend_planes_24(out, tuple(c.astype(jnp.bfloat16)
                                           for c in cands), tb5, Tp)
 
+    def full96(o, c, t):
+        # env read at TRACE time inside blend_planes_24 — set it during the
+        # trace of this closure only
+        os.environ["FLDRX_BLEND96"] = "1"
+        try:
+            return blend_planes_24(o, c, t, Tp)
+        finally:
+            os.environ["FLDRX_BLEND96"] = "0"
+
     jfull = jax.jit(lambda o, c, t: blend_planes_24(o, c, t, Tp))
+    jfull96 = jax.jit(full96)
     jsoftmax = jax.jit(softmax24)
     jbf16 = jax.jit(bf16cand)
     jwsum = jax.jit(wsum)
     p96 = jsoftmax(out)
     variants = {
         "full": lambda: jfull(out, cands, tb5),
+        "full96": lambda: jfull96(out, cands, tb5),
         "softmax": lambda: jsoftmax(out),
         "bf16cand": lambda: jbf16(out, cands, tb5),
         "wsum": lambda: jwsum(p96, cands),

@@ -21,10 +21,14 @@ run() {
   shift
   bash probes/run_tpu.sh "$@" 2>&1 | tail -14 | tee -a "$LOG"
 }
-run "R5C-1. bench Z_HALFRES=1" 2700 env FLDRX_Z_HALFRES=1 python bench.py
-run "R5C-2. bench SPLAT_YWIN=1 (factored-placement splat)" 2700 \
+run "R5C-0. blendprobe full vs full96 (wide-minor softmax)" 2400 \
+    python -u probes/blendprobe.py
+run "R5C-1. bench BLEND96=1 (ulp-safe: CI dB-pin covers quality)" 2700 \
+    env FLDRX_BLEND96=1 python bench.py
+run "R5C-2. bench Z_HALFRES=1" 2700 env FLDRX_Z_HALFRES=1 python bench.py
+run "R5C-2b. bench SPLAT_YWIN=1 (factored-placement splat)" 2700 \
     env FLDRX_SPLAT_YWIN=1 python bench.py
-run "R5C-3. goldenclip deploy Z_HALFRES=1" 3600 \
+run "R5C-3. goldenclip deploy Z_HALFRES=1" 2700 \
     env FLDRX_GOLDEN_CONFIGS=deploy FLDRX_Z_HALFRES=1 \
     python -u -m fldrx.tools.goldenclip_report
 run "R5C-4. goldenclip deploy SPLAT_YWIN=1" 3600 \
