@@ -57,9 +57,17 @@ def main():
             os.environ["FLDRX_CONV_KX"] = mode
             print(f"--- FLDRX_CONV_ALIGN={align} FLDRX_CONV_KX={mode}",
                   flush=True)
-            probe("enc1", 576, 1024, 416, 64)     # quarter grid, s2d4 input
-            probe("dec3", 576, 1024, 256, 96)     # output head
-            probe("enc3", 288, 512, 128, 64)      # eighth grid
+            for args in (("enc1", 576, 1024, 416, 64),  # quarter grid
+                         ("dec3", 576, 1024, 256, 96),  # output head
+                         ("enc3", 288, 512, 128, 64)):  # eighth grid
+                # a failing cell (e.g. VMEM OOM at some align x kx x shape)
+                # must not kill the rest of the matrix — the r5 run lost
+                # its partial results exactly that way
+                try:
+                    probe(*args)
+                except Exception as e:
+                    print(f"{args[0]:>6s} FAILED: "
+                          f"{type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":
