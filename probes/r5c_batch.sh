@@ -23,6 +23,10 @@ run() {
 }
 run "R5C-0. blendprobe full vs full96 (wide-minor softmax)" 2400 \
     python -u probes/blendprobe.py
+run "R5C-0b. convprobe ALIGN x KX rerun (fault-tolerant cells)" 2700 \
+    python -u probes/convprobe.py
+run "R5C-0c. convprobe CONV_FORM=kcat rerun" 2700 \
+    env FLDRX_CONV_FORM=kcat python -u probes/convprobe.py
 run "R5C-1. bench BLEND96=1 (ulp-safe: CI dB-pin covers quality)" 2700 \
     env FLDRX_BLEND96=1 python bench.py
 run "R5C-2. bench Z_HALFRES=1" 2700 env FLDRX_Z_HALFRES=1 python bench.py
