@@ -30,30 +30,23 @@ from ..ops.resize import resize_2d
 
 def build_pyramid(frames: jnp.ndarray, cfg: FLDRConfig, n_levels: int):
     """frames: [B, 2, H, W, C] (already padded). Level i is a bicubic
-    downscale by 8/scales[i] (main.py:855-856).
+    downscale by 8/scales[i] (main.py:855-856), always DIRECT from full
+    resolution.
 
-    FLDRX_PYR_CASCADE=1 (measurement gate, fast path only): build level i
-    from level i−1 instead of from full resolution — each sub-level reads
-    the previous level (¼ the pixels) instead of the 4K frames, and the
-    HIGHEST-precision resize matmuls shrink with it (pyramid measured
-    58 ms/pair vs a ~7 ms floor). Bicubic does not compose exactly, so this
-    deviates from the reference's direct per-level resize — deploy-gated,
-    goldenclip-measured; the strict parity path (fast_warp=False) always
-    builds direct."""
-    import os
+    (A cascade variant — level i from level i−1, FLDRX_PYR_CASCADE — was
+    TPU-measured in r5 and deleted: 0.232 fps and −0.25 dB goldenclip
+    (R5B-3/6). Composed bicubic overshoot at the reflect-pad boundaries
+    spikes the flow there, pushing edge tiles past the warp engine's
+    spill-tier caps → whole-frame exact fallback. The reference's direct
+    per-level resize is also the parity semantics.)"""
     B, T, H, W, C = frames.shape
     pyr = [frames]
     flat = frames.reshape(B * T, H, W, C)
-    cascade = (bool(int(os.environ.get("FLDRX_PYR_CASCADE", "0")))
-               and getattr(cfg, "fast_warp", False))
-    prev = flat
     for i in range(1, n_levels):
         f = cfg.scales[0] / cfg.scales[i]
         oh, ow = int(H * f), int(W * f)
-        lev = resize_2d(prev if cascade else flat, (oh, ow), "bicubic",
-                        cfg.align_corners)
+        lev = resize_2d(flat, (oh, ow), "bicubic", cfg.align_corners)
         pyr.append(lev.reshape(B, T, oh, ow, C))
-        prev = lev
     return pyr
 
 
@@ -69,19 +62,30 @@ def to_model_frames(frames: jnp.ndarray) -> jnp.ndarray:
     return frames
 
 
+def _prec_scope(cfg: FLDRConfig):
+    """Trace-time resize precision: the fast path runs its resize matmuls
+    at HIGH (3-pass bf16 split; r5-measured 4.708 vs 4.686 fps, goldenclip
+    bit-flat 44.1040 vs 44.1039 dB — R5B-2/5); strict parity keeps
+    HIGHEST."""
+    from ..ops.resize import resize_precision
+    return resize_precision(
+        "high" if getattr(cfg, "fast_warp", False) else None)
+
+
 def _interp_fn(cfg: FLDRConfig, padded_hw: Tuple[int, int],
                orig_hw: Tuple[int, int], compute_dtype):
     def fn(params, frames, t):
-        frames = to_model_frames(frames)
-        ph, pw = pad_amount(frames.shape[2], cfg.div_pad), pad_amount(
-            frames.shape[3], cfg.div_pad)
-        if ph or pw:
-            frames = jnp.pad(
-                frames, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
-                mode="reflect" if cfg.padding == "reflect" else "constant")
-        pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
-        return forward_test(params, cfg, pyr, t, orig_hw=orig_hw,
-                            compute_dtype=compute_dtype)
+        with _prec_scope(cfg):
+            frames = to_model_frames(frames)
+            ph, pw = pad_amount(frames.shape[2], cfg.div_pad), pad_amount(
+                frames.shape[3], cfg.div_pad)
+            if ph or pw:
+                frames = jnp.pad(
+                    frames, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
+                    mode="reflect" if cfg.padding == "reflect" else "constant")
+            pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
+            return forward_test(params, cfg, pyr, t, orig_hw=orig_hw,
+                                compute_dtype=compute_dtype)
     return fn
 
 
@@ -137,17 +141,21 @@ class Interpolator:
             cfg = self.cfg
 
             def fn(params, frames):
-                frames = to_model_frames(frames)
-                ph = pad_amount(frames.shape[2], cfg.div_pad)
-                pw = pad_amount(frames.shape[3], cfg.div_pad)
-                if ph or pw:
-                    frames = jnp.pad(
-                        frames, [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
-                        mode="reflect" if cfg.padding == "reflect" else "constant")
-                pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
-                flow = forward_flow(params, cfg, pyr, self._compute_dtype)
-                extras = flow_extras(params, cfg, flow, frames)
-                return flow, frames, extras
+                with _prec_scope(cfg):
+                    frames = to_model_frames(frames)
+                    ph = pad_amount(frames.shape[2], cfg.div_pad)
+                    pw = pad_amount(frames.shape[3], cfg.div_pad)
+                    if ph or pw:
+                        frames = jnp.pad(
+                            frames,
+                            [(0, 0), (0, 0), (0, ph), (0, pw), (0, 0)],
+                            mode=("reflect" if cfg.padding == "reflect"
+                                  else "constant"))
+                    pyr = build_pyramid(frames, cfg, cfg.S_tst + 1)
+                    flow = forward_flow(params, cfg, pyr,
+                                        self._compute_dtype)
+                    extras = flow_extras(params, cfg, flow, frames)
+                    return flow, frames, extras
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 
@@ -157,9 +165,11 @@ class Interpolator:
             cfg = self.cfg
 
             def fn(params, flow, padded_frames, t, extras):
-                return forward_synthesis(params, cfg, flow, padded_frames, t,
-                                         precomputed=extras,
-                                         compute_dtype=self._compute_dtype)
+                with _prec_scope(cfg):
+                    return forward_synthesis(
+                        params, cfg, flow, padded_frames, t,
+                        precomputed=extras,
+                        compute_dtype=self._compute_dtype)
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 
@@ -186,10 +196,12 @@ class Interpolator:
             cfg = self.cfg
 
             def fn(params, flow, padded_frames, ts, extras):
-                return forward_synthesis_multi(
-                    params, cfg, flow, padded_frames,
-                    [ts[k] for k in range(T)], precomputed=extras,
-                    compute_dtype=self._compute_dtype, planes_out=planes)
+                with _prec_scope(cfg):
+                    return forward_synthesis_multi(
+                        params, cfg, flow, padded_frames,
+                        [ts[k] for k in range(T)], precomputed=extras,
+                        compute_dtype=self._compute_dtype,
+                        planes_out=planes)
             self._cache[key] = jax.jit(fn)
         return self._cache[key]
 

@@ -20,6 +20,8 @@ to the valid range (replicate), matching `upsample_bicubic2d`.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import os
 
@@ -27,7 +29,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["resize_2d", "resize_bicubic", "resize_bilinear", "resize_matrix"]
+__all__ = ["resize_2d", "resize_bicubic", "resize_bilinear", "resize_matrix",
+           "resize_precision"]
+
+# Trace-time resize matmul precision scope. The eval pipeline traces its
+# FAST-path programs under resize_precision("high") (half the MXU passes,
+# ~1e-6 interpolation error — inside the fast path's documented envelope);
+# everything else (strict parity, training) defaults to HIGHEST.
+_PREC_VAR = contextvars.ContextVar("fldrx_resize_prec", default=None)
+
+
+@contextlib.contextmanager
+def resize_precision(p):
+    """Scope the default resize matmul precision ('high'|'highest'|None)."""
+    tok = _PREC_VAR.set(p)
+    try:
+        yield
+    finally:
+        _PREC_VAR.reset(tok)
 
 def _cubic_weight(t: np.ndarray, A: float = -0.75) -> np.ndarray:
     """Cubic convolution kernel (Keys), PyTorch uses A=-0.75."""
@@ -119,15 +138,15 @@ def resize_2d(x: jnp.ndarray, out_hw, mode: str = "bicubic",
     Wh = resize_matrix(H, out_h, mode, align_corners, dtype=dt)
     Ww = resize_matrix(W, out_w, mode, align_corners, dtype=dt)
     # precision=HIGHEST: the MXU's default bf16 matmul costs ~1e-2 error which
-    # compounds across the 6-level pyramid; interpolation must stay f32-exact.
-    # FLDRX_RESIZE_PREC=high (measurement gate): 3-pass bf16 split instead of
-    # HIGHEST's 6 passes — ~1e-6-level error; whether the pyramid/upsample
-    # stages tolerate it is a goldenclip question, whether it pays is a bench
-    # question (the pyramid is 58 ms/pair vs a ~7 ms floor, MXU-bound at
-    # HIGHEST).
+    # compounds across the 6-level pyramid; interpolation must stay f32-exact
+    # on the strict-parity path. The FAST path traces under
+    # resize_precision("high") (set per cfg.fast_warp in eval/pipeline.py):
+    # 3-pass bf16 split instead of HIGHEST's 6 — r5-measured 4.708 vs 4.686
+    # fps with a bit-flat goldenclip (44.1040 vs 44.1039 dB, R5B-2/5).
+    # FLDRX_RESIZE_PREC remains as an explicit probe override.
     prec = {"high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST}[
-        os.environ.get("FLDRX_RESIZE_PREC", "highest")]
+        os.environ.get("FLDRX_RESIZE_PREC") or _PREC_VAR.get() or "highest"]
     y = jnp.einsum("oh,...hwc->...owc", Wh, x.astype(dt), precision=prec)
     y = jnp.einsum("pw,...owc->...opc", Ww, y, precision=prec)
     return y.astype(x.dtype) if x.dtype == jnp.float32 else y
