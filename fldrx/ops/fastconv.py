@@ -6,16 +6,25 @@ expresses the 3x3 stride-1 conv as 3 row-shifted [pixels, Cin] @ [Cin, 3K]
 matmuls accumulated in f32 — proper MXU shapes with channels on lanes.
 
 Layout: the padded image is flattened pixel-major with the row width padded
-to a multiple of 8, so a ky tap shift is an 8-aligned (sublane-aligned)
-static slice — Mosaic handles those without relayout copies. The kx taps
-ride the OUTPUT side: per ky, one matmul against the 3 kx weight blocks
-concatenated on the output axis ([Cin, 3K] — filling the MXU's 128-wide
-output), then each kx block is shifted by its tap offset as an unaligned
-slice of the small [N, K] result (cheap relayout; the same shift on the
-[N, Cin] operand forces a full-block copy per tap, and pltpu.roll fails to
-compile at these block sizes — both measured). No im2col is materialized (a
-variant concatenating 3x shifted copies in XLA lost its matmul gains to the
-prologue traffic). Rows stream through VMEM double-buffered.
+to a multiple of 16 (bf16 Mosaic tile alignment: the r5 matrix measured
+align=16 −8..13% over the old 8 — an 8-but-not-16-aligned ky offset made
+each tap slice a relayout copy). The 3 ky-shifted operand slices are
+concatenated on the LANE dim (offsets 0/Cp/2Cp — 128-multiples) and
+contracted in ONE dot over 3·Cp, letting the MXU's f32 pass chain
+accumulate the ky taps (the r4 'ky' form's two full-width [N, 3K] f32
+strip adds were the bulk of per-step VMEM traffic; r5 matrix: kcat
+enc1 16.56 vs ky 17.61 ms at align=16). The kx taps ride the OUTPUT side:
+one matmul against the 3 kx weight blocks concatenated on the output axis
+([3Cp, 3K] — filling the MXU's 128-wide output), then each kx block is
+shifted by its tap offset as an unaligned slice of the small [N, K] result
+(cheap relayout; the same shift on the operand forces a full-block copy
+per tap, and pltpu.roll fails to compile at these block sizes — both
+measured). An XLA-epilogue variant of the kx shift-adds (FLDRX_CONV_KX=
+xla) measured 26-27 ms enc1 / 18.6-19 dec3 across the whole r5 matrix AND
+crashed the remote compiler on ky-enc1 — deleted. No im2col is
+materialized (a variant concatenating 3x shifted copies in XLA lost its
+matmul gains to the prologue traffic). Rows stream through VMEM
+double-buffered.
 
 Used by model.fldrnet.refine_unet_s2d on TPU under bf16; the XLA conv
 remains the fallback (CPU / f32 parity path) and the parity reference.
@@ -38,19 +47,18 @@ _BH = 8   # image rows per grid step (r4 sweep: 8 = 19.1 ms enc1 pairconv;
 
 
 def _align() -> int:
-    # FLDRX_CONV_ALIGN (measurement gate): padded-row-width alignment. 8 is
-    # sublane-aligned for f32 tiles; the input block is BF16, whose Mosaic
-    # tile is (16, 128) — with an 8-but-not-16-aligned row width the ky tap
-    # offsets (ky·Wp8) fall mid-tile and the slice is a relayout copy of the
-    # whole ~10 MB block per tap. 16 makes every ky offset tile-aligned.
-    # Bitwise-safe: the extra columns are zero pad and outputs crop to W.
-    a = int(os.environ.get("FLDRX_CONV_ALIGN", "8"))
+    # Padded-row-width alignment, default 16 (bf16 Mosaic tile (16, 128)
+    # alignment for the ky tap offsets; r5 matrix: 16 beats the old 8 at
+    # every shape — enc1 16.56 vs 19.1 ms. Bitwise-safe: the extra columns
+    # are zero pad and outputs crop to W). FLDRX_CONV_ALIGN stays as a
+    # probe override.
+    a = int(os.environ.get("FLDRX_CONV_ALIGN", "16"))
     # the kernel hard-requires align>=2 (kx-tap overrun slack) and a
     # multiple of 8 (sublane-aligned ky slices); bad values would die with
     # an opaque Mosaic trace error deep in a chip run
     if a < 8 or a % 8:
         raise ValueError(f"FLDRX_CONV_ALIGN must be a multiple of 8 >= 8 "
-                         f"(got {a}); measured values: 8 (default), 16")
+                         f"(got {a}); measured values: 16 (default), 8")
     return a
 
 
@@ -58,7 +66,7 @@ def _rows_per_block(Wp8: int, align: int) -> int:
     return (_BH + 2) * Wp8 + align      # +align slack: junk-col tap overrun
 
 
-def _conv_kernel(Wp8, Cp, K, emit_raw, align, x_hbm, w_ref, b_ref, out_ref,
+def _conv_kernel(Wp8, Cp, K, align, x_hbm, w_ref, b_ref, out_ref,
                  xbuf, sem):
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -82,51 +90,17 @@ def _conv_kernel(Wp8, Cp, K, emit_raw, align, x_hbm, w_ref, b_ref, out_ref,
     N = _BH * Wp8
     K = w_ref.shape[2] // 3
     Cp = x0.shape[1]
-    # FLDRX_CONV_FORM=kcat (measurement gate): concatenate the 3 ky-shifted
-    # operand slices on the LANE dim (offsets 0/Cp/2Cp — 128-multiples) and
-    # contract once over 3·Cp, letting the MXU accumulate the ky taps in its
-    # f32 pass chain. Same passes, but the two full-width [N, 3K] f32
-    # accumulator adds disappear — for small-Cin/large-K convs (64→416:
-    # adds touch 82 MB/step vs a 6 MB operand copy) that is the bulk of the
-    # per-step VMEM traffic. 'auto' picks kcat exactly there (copy bytes
-    # 3·N·Cp·2 < saved add bytes 4·N·3K·4 ⇔ Cp < 8K). Default 'ky' until
-    # TPU-measured.
-    form = os.environ.get("FLDRX_CONV_FORM", "ky")
-    kcat = form == "kcat" or (form == "auto" and Cp < 8 * K)
-    if kcat:
-        xcat = jnp.concatenate(
-            [x0[ky * Wp8:ky * Wp8 + N + align] for ky in range(3)], axis=1)
-        w3 = w_ref[...].reshape(3 * Cp, 3 * K)
-        acc = jax.lax.dot_general(
-            xcat, w3, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    else:
-        acc = None
-        for ky in range(3):
-            off = ky * Wp8                  # align-multiple static slice
-            s = x0[off:off + N + align]     # +align rows: kx-tap slack
-            # one matmul per ky with the 3 kx weight blocks concatenated on
-            # the output axis (3K lanes fill the MXU's 128-wide output; a
-            # K=64-wide result wastes half of it). The ky contributions
-            # accumulate FULL WIDTH (aligned f32 adds) and the kx tap
-            # shifts are taken ONCE on the summed [N+8, 3K] result — the
-            # kx shift is ky-independent, so this is the same sum in a
-            # different association, and it pays 3 unaligned-slice
-            # relayouts per step instead of 9. (Shifting the [N, Cp]
-            # operand instead forced a full-block copy per tap, measured.)
-            contrib = jax.lax.dot_general(
-                s, w_ref[ky], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = contrib if acc is None else acc + contrib
-    if emit_raw:
-        # FLDRX_CONV_KX=xla: ship the ky-summed [N, 3K] f32 accumulator to
-        # HBM untouched; the kx shift-adds run as an XLA fused epilogue
-        # (offset reads fuse near-free there, while the in-kernel unaligned
-        # sublane slices below are Mosaic relayout copies). Strip overlap
-        # makes acc_i[N+j] == acc_{i+1}[j], so emitting rows [0, N) per
-        # strip loses nothing — bitwise the same sum, different place.
-        out_ref[...] = acc[:N]
-        return
+    # lane-concat ky contraction (the only form after the r5 matrix — see
+    # module docstring): one dot over 3·Cp, MXU accumulates the ky taps in
+    # its f32 pass chain; no full-width f32 strip adds. (The per-ky 'ky'
+    # form with explicit adds measured 17.61 vs 16.56 ms enc1 and was
+    # deleted; git history keeps it.)
+    xcat = jnp.concatenate(
+        [x0[ky * Wp8:ky * Wp8 + N + align] for ky in range(3)], axis=1)
+    w3 = w_ref[...].reshape(3 * Cp, 3 * K)
+    acc = jax.lax.dot_general(
+        xcat, w3, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     res = None
     for kx in range(3):
         part = acc[kx:kx + N, kx * K:(kx + 1) * K]
@@ -160,13 +134,6 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     if Cp != Cin:
         wk = jnp.pad(wk, ((0, 0), (0, Cp - Cin), (0, 0)))
     bk = b.astype(jnp.float32).reshape(1, K)
-    # FLDRX_CONV_KX=xla (measurement gate): the kernel emits the ky-summed
-    # [·, 3K] f32 accumulator and the kx shift-adds run as an XLA epilogue
-    # instead of in-kernel relayout slices. Requires 3 junk columns so the
-    # +2-row reads past the last real pixel stay in-bounds (Wp8 >= W+2 by
-    # construction; guard anyway).
-    kx_xla = (os.environ.get("FLDRX_CONV_KX", "kernel") == "xla"
-              and Wp8 - W >= 2)
     outs = []
     for bidx in range(B):
         xb = x[bidx]
@@ -177,18 +144,16 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         x2 = xp.reshape((H + 2) * Wp8, Cp)
         slack = _rows_per_block(Wp8, align) + (H - _BH) * Wp8 - (H + 2) * Wp8
         x2 = jnp.pad(x2, ((0, max(slack, 0)), (0, 0)))
-        out_cols = 3 * K if kx_xla else K
-        out_dt = jnp.float32 if kx_xla else out_dtype
         out = pl.pallas_call(
-            functools.partial(_conv_kernel, Wp8, Cp, K, kx_xla, align),
+            functools.partial(_conv_kernel, Wp8, Cp, K, align),
             grid=(H // _BH,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec((3, Cp, 3 * K), lambda i: (0, 0, 0)),
                 pl.BlockSpec((1, K), lambda i: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((_BH * Wp8, out_cols), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((H * Wp8, out_cols), out_dt),
+            out_specs=pl.BlockSpec((_BH * Wp8, K), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((H * Wp8, K), out_dtype),
             scratch_shapes=[
                 pltpu.VMEM((2, _rows_per_block(Wp8, align), Cp),
                            jnp.bfloat16),
@@ -199,12 +164,6 @@ def conv3x3_pixrows(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                 vmem_limit_bytes=127 * 1024 * 1024),
             interpret=_INTERPRET,
         )(x2, wk, bk)
-        if kx_xla:
-            HWr = H * Wp8
-            y = jnp.pad(out, ((0, 2), (0, 0)))
-            res = (y[0:HWr, 0:K] + y[1:HWr + 1, K:2 * K]
-                   + y[2:HWr + 2, 2 * K:3 * K] + bk)
-            out = res.astype(out_dtype)
         out = out.reshape(H, Wp8, K)[:, :W]
         outs.append(out)
     return jnp.stack(outs, 0)

@@ -44,30 +44,25 @@ def probe(name, H, W, Cin, K):
 
 
 def main():
-    for align in ("8", "16"):
-        # row-width padding alignment A/B: 16 makes the bf16 ky tap offsets
-        # (ky*Wp8) Mosaic-tile-aligned — the 8-default lands mid-(16,128)
-        # tile for odd ky, a relayout copy of the whole input block per tap
-        for mode in ("kernel", "xla"):
-            # kx shift-add placement A/B: in-kernel relayout slices vs the
-            # XLA fused epilogue (FLDRX_CONV_KX; both read at trace time —
-            # each probe() call jits a fresh closure, so flipping the env
-            # between loops works)
-            os.environ["FLDRX_CONV_ALIGN"] = align
-            os.environ["FLDRX_CONV_KX"] = mode
-            print(f"--- FLDRX_CONV_ALIGN={align} FLDRX_CONV_KX={mode}",
-                  flush=True)
-            for args in (("enc1", 576, 1024, 416, 64),  # quarter grid
-                         ("dec3", 576, 1024, 256, 96),  # output head
-                         ("enc3", 288, 512, 128, 64)):  # eighth grid
-                # a failing cell (e.g. VMEM OOM at some align x kx x shape)
-                # must not kill the rest of the matrix — the r5 run lost
-                # its partial results exactly that way
-                try:
-                    probe(*args)
-                except Exception as e:
-                    print(f"{args[0]:>6s} FAILED: "
-                          f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+    # The r5 matrix (queue_results.log R5C-0b/0c) resolved the kernel's
+    # decision space: lane-concat ky contraction + align=16 + in-kernel kx
+    # shifts won every cell (enc1 16.56 / dec3 11.89 / enc3 4.74 ms) and is
+    # now the only form; the KX=xla epilogue (26-27 ms enc1, remote-compiler
+    # crash on ky-enc1) and the per-ky add form (17.61 enc1) were deleted.
+    # This probe now times the production kernel, with FLDRX_CONV_ALIGN as
+    # the remaining override.
+    for align in ("16", "8"):
+        os.environ["FLDRX_CONV_ALIGN"] = align
+        print(f"--- FLDRX_CONV_ALIGN={align}", flush=True)
+        for args in (("enc1", 576, 1024, 416, 64),  # quarter grid
+                     ("dec3", 576, 1024, 256, 96),  # output head
+                     ("enc3", 288, 512, 128, 64)):  # eighth grid
+            # a failing cell must not kill the rest of the matrix
+            try:
+                probe(*args)
+            except Exception as e:
+                print(f"{args[0]:>6s} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
 if __name__ == "__main__":
