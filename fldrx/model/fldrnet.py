@@ -585,43 +585,25 @@ def blend_planes_24(out: jnp.ndarray, cands, tb5: jnp.ndarray,
     log1mt = jnp.log(1.0 - tb5)
     bias = jnp.concatenate(
         [log1mt, logt, log1mt, logt, log1mt, logt], -1)  # [B,1,1,1,6]
-    # FLDRX_BLEND96=1 (measurement gate): run the softmax ONCE on the full
-    # 96-lane minor instead of four 24-minor u-slices. BITWISE-identical:
-    # the stability max is the same per-24-block max (reduce over a
-    # reshaped (4, 24) view of the same values), exp/div are elementwise,
-    # and the group denominator's [96, 96] block-diagonal one-hot matmul
-    # sums the same 6 nonzero terms in the same lane order — the extra K
-    # entries are exact +0.0 adds. Motivation: blendprobe (R5B-0) measured
-    # the softmax half at 25.4 ms of the 33 ms standalone blend — the
-    # 24-minor slices defeat XLA's wide-layout fusion (a 24-lane minor pads
-    # 5.3x; [.., 1] keepdims maxes pad 128x if materialized).
-    import os as _os
-    blend96 = bool(int(_os.environ.get("FLDRX_BLEND96", "0")))
-    if blend96:
-        x96 = out / Tparam + jnp.tile(bias[..., 0, :], (1, 1, 1, 16))
-        m4 = jnp.max(x96.reshape(B, Hp4, Wp4, 4, 24), axis=-1)
-        e96 = jnp.exp(x96 - jnp.repeat(m4, 24, axis=-1))
-        G96 = jnp.asarray(
-            np.kron(np.eye(16, dtype=np.float32),
-                    np.ones((6, 6), np.float32)))
-        denom96 = jnp.einsum("bhwq,qr->bhwr", e96, G96,
-                             precision=jax.lax.Precision.HIGHEST)
-        p_all = e96 / denom96                             # [B,Hp4,Wp4,96]
-    else:
-        G24 = jnp.asarray(
-            np.kron(np.eye(4, dtype=np.float32),
-                    np.ones((6, 6), np.float32)))
-        bias24 = jnp.tile(bias[..., 0, :], (1, 1, 1, 4))  # [B,1,1,24]
+    # (A wide-minor variant — the softmax ONCE on the full 96-lane minor,
+    # FLDRX_BLEND96, ulp-equal — was TPU-measured in r5 and deleted:
+    # 4.665 vs 4.708 fps in context and 34.4 vs 32.9 ms standalone
+    # (R5C-0/1), even though the standalone DECOMPOSITION put the softmax
+    # half at 25 of 33 ms. In context XLA already fuses the 24-minor
+    # chain; the standalone softmax cost is parameter-layout copies that
+    # the real program does not pay. Lesson recorded in PROFILE.md; git
+    # history keeps the implementation.)
+    G24 = jnp.asarray(
+        np.kron(np.eye(4, dtype=np.float32),
+                np.ones((6, 6), np.float32)))
+    bias24 = jnp.tile(bias[..., 0, :], (1, 1, 1, 4))      # [B,1,1,24]
     out_planes = []
     for u in range(4):
-        if blend96:
-            p6 = p_all[..., u * 24:u * 24 + 24].reshape(B, Hp4, Wp4, 4, 6)
-        else:
-            xu = out[..., u * 24:u * 24 + 24] / Tparam + bias24
-            e = jnp.exp(xu - jnp.max(xu, axis=-1, keepdims=True))
-            denom = jnp.einsum("bhwq,qr->bhwr", e, G24,
-                               precision=jax.lax.Precision.HIGHEST)
-            p6 = (e / denom).reshape(B, Hp4, Wp4, 4, 6)
+        xu = out[..., u * 24:u * 24 + 24] / Tparam + bias24
+        e = jnp.exp(xu - jnp.max(xu, axis=-1, keepdims=True))
+        denom = jnp.einsum("bhwq,qr->bhwr", e, G24,
+                           precision=jax.lax.Precision.HIGHEST)
+        p6 = (e / denom).reshape(B, Hp4, Wp4, 4, 6)
         out_u = (p6[..., 0:1] * cells(warped0P, u, 3)
                  + p6[..., 1:2] * cells(warped1P, u, 3)
                  + p6[..., 2:3] * cells(im0P, u, 3)
