@@ -73,8 +73,10 @@ def main():
                                           for c in cands), tb5, Tp)
 
     def full96(o, c, t):
-        # env read at TRACE time inside blend_planes_24 — set it during the
-        # trace of this closure only
+        # RESOLVED r5 (R5C-0/1): the wide-minor form measured 34.4 vs 32.9
+        # standalone and 4.665 vs 4.708 in context — deleted from
+        # blend_planes_24 (this row now duplicates `full`; kept as the
+        # record's venue). env read at TRACE time (now a no-op).
         os.environ["FLDRX_BLEND96"] = "1"
         try:
             return blend_planes_24(o, c, t, Tp)
