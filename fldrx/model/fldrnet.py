@@ -963,16 +963,17 @@ def flow_extras(params: Params, cfg: FLDRConfig, flow: jnp.ndarray,
     packed = _packed_enabled(cfg) and can_use_packed(flow, images)
     from ..ops import fastwarp as _fw
     import os as _os
-    # FLDRX_Z_HALFRES=1 (measurement gate, fast path only): the z
-    # importance metrics (fLDRnet.py:439-446) at HALF resolution — two
-    # half-size backward gathers instead of two full-4K ones (the z warps
-    # are the flow stage's biggest single item, 92 ms/pair vs a ~45 ms
-    # floor), bilinearly upsampled back. z is a soft occlusion weighting
-    # inside exp(); the 2-px smoothing of its boundaries is a goldenclip
-    # question. Strict path (fast_warp=False) never takes this.
+    # Half-resolution z importance metrics (fLDRnet.py:439-446), fast path
+    # DEFAULT since r5: two half-size backward gathers instead of two
+    # full-4K ones (the z warps were the flow stage's biggest single item,
+    # 92 ms/pair vs a ~45 ms floor), bilinearly upsampled back. z is a
+    # soft occlusion weighting inside exp() — r5-measured: bench 4.809 vs
+    # the 4.7-class baselines (R5C-2), goldenclip −0.0012 dB (44.1027 vs
+    # 44.1039, R5C-3). FLDRX_Z_HALFRES=0 restores full-res z; the strict
+    # path (fast_warp=False) never takes this.
     B_, H_, W_ = images.shape[0], H, W
     zhalf = (fast and packed
-             and bool(int(_os.environ.get("FLDRX_Z_HALFRES", "0")))
+             and bool(int(_os.environ.get("FLDRX_Z_HALFRES", "1")))
              and H_ % 64 == 0 and W_ % 64 == 0)
     if zhalf:
         Hh, Wh = H_ // 2, W_ // 2

@@ -119,11 +119,17 @@ def test_init_params_forward_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_synthesize_packed_matches_fast():
+def test_synthesize_packed_matches_fast(monkeypatch):
     """The packed-domain synthesis is the plain fast path under a layout
     permutation; the only numeric difference is scalar-t multiplication
     order through the linear resize (boundary-pixel corner flips), so the
-    deviation PSNR must stay above 90 dB."""
+    deviation PSNR must stay above 90 dB.
+
+    Pins FLDRX_Z_HALFRES=0: this test is the LAYOUT contract, so both
+    sides must use the same (full-res) z policy — the half-res z default
+    (r5) only changes flow_extras' z, and its quality budget is covered by
+    the goldenclip pins."""
+    monkeypatch.setenv("FLDRX_Z_HALFRES", "0")
     import jax
     from fldrx.model.fldrnet import (can_use_packed, flow_extras,
                                      init_params, synthesize,
