@@ -747,7 +747,10 @@ _YWIN = 128                # y-window rows for the factored-placement splat
 
 
 def _ywin_on() -> bool:
-    """FLDRX_SPLAT_YWIN=1 (measurement gate, both splat kernels): factor the
+    """Factored-placement splat (both splat kernels), DEFAULT since r5
+    (R5E-1: 4.847 vs 4.807 fps A/B on otherwise-final defaults; goldenclip
+    44.1027 == the ZH anchor, R5D-1). FLDRX_SPLAT_YWIN=0 restores the
+    strip-wide contribution. Factor the
     [STRIPH, N] strip contribution into a [_YWIN, N] window matmul plus a
     one-hot PLACEMENT matmul. The window follows each tile's mean target
     (gather-style per-tile adaptive origin, clamped into the strip), so the
@@ -759,7 +762,7 @@ def _ywin_on() -> bool:
     unchanged (the window tracks the tile mean) but intra-tile target
     spread beyond ~126 rows now spills to the exact fixup tiers (the
     strip-wide form handled ~222). Measure before defaulting."""
-    return bool(int(os.environ.get("FLDRX_SPLAT_YWIN", "0")))
+    return bool(int(os.environ.get("FLDRX_SPLAT_YWIN", "1")))
 
 
 def _ywin_origin(ty_t: jnp.ndarray, oy: jnp.ndarray) -> jnp.ndarray:
