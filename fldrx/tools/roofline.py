@@ -74,13 +74,18 @@ def splat_stage(chip):
     n_tiles = (H // TILE) * (W // TILE)
     N = TILE * TILE
     wC = winx * cp
+    # factored-placement form (r5 default): [_YWIN, N] window contribution
+    # + 2-split one-hot placement (the [STRIPH, N] strip-wide form was
+    # mxu_passes(STRIPH, N, wC) = 64/tile)
+    from ..ops.fastwarp import _YWIN
     per_tile_passes = (
-        mxu_passes(STRIPH, N, wC)        # contrib = RYT[STRIPH,N] @ CXeV
+        mxu_passes(_YWIN, N, wC)         # contrib128 = RYT[128,N] @ CXeV
+        + 2 * mxu_passes(STRIPH, _YWIN, wC)  # P @ {chi, clo} placement
         + mxu_passes(N, cp, 128)         # v128 one-hot transpose
         + mxu_passes(1, 3, N) * 0        # row_to_col rides the above
     )
-    # VPU: RYT hat [STRIPH,N]·~4 ops, CXe hat [N,wC]·~4, CXe·Ve mult [N,wC]
-    per_tile_vpu = STRIPH * N * 4 + N * wC * 4 + N * wC
+    # VPU: RYT hat [_YWIN,N]·~4 ops, CXe hat [N,wC]·~4, CXe·Ve mult [N,wC]
+    per_tile_vpu = _YWIN * N * 4 + N * wC * 4 + N * wC
     # HBM: vals bf16 [N, cp] + coords f32 [2, N] in; strip flush amortizes
     # to one f32 [TILE, (W+2winx)·cp]/tx per tile-row → per tile ≈ TILE²·cp
     per_tile_hbm = N * cp * 2 + 2 * N * 4 + N * cp * 4
